@@ -1,0 +1,93 @@
+"""Engine configuration constants.
+
+The ensemble weights / thresholds mirror the reference exactly:
+
+* 5-way batch weights .30/.25/.20/.15/.10 — ``batch_mdm_gcp/bigquery_utils.py:595-604``
+* 4-way streaming weights .33/.28/.22/.17 — ``streaming_mdm_gcp/streaming_processor.py:25-31``
+  (the profile we default to: the AI leg is a non-reproducible remote LLM in the
+  reference, so the renormalized 4-way profile is the deterministic default; the
+  5-way profile is selectable with a deterministic surrogate AI scorer).
+* decision thresholds 0.8 auto_merge / 0.6 human_review, retain > 0.3 —
+  ``bigquery_utils.py:620-635``; clustering edge threshold 0.6 —
+  ``bigquery_utils.py:645-653``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---- ensemble weight profiles -------------------------------------------------
+
+WEIGHTS_5WAY = {
+    "exact": 0.30,
+    "fuzzy": 0.25,
+    "vector": 0.20,
+    "business": 0.15,
+    "ai": 0.10,
+}
+
+WEIGHTS_4WAY = {
+    "exact": 0.33,
+    "fuzzy": 0.28,
+    "vector": 0.22,
+    "business": 0.17,
+    "ai": 0.0,
+}
+
+AUTO_MERGE_THRESHOLD = 0.8     # bigquery_utils.py:622
+HUMAN_REVIEW_THRESHOLD = 0.6   # bigquery_utils.py:623
+RETAIN_THRESHOLD = 0.3         # bigquery_utils.py:634
+CLUSTER_EDGE_THRESHOLD = 0.6   # bigquery_utils.py:652
+
+# Fuzzy pair retention: any of the 4 fuzzy scores > 0.5 (bigquery_utils.py:401-402)
+FUZZY_RETAIN_THRESHOLD = 0.5
+# Vector pair retention: cosine distance < 0.3 i.e. similarity > 0.7 (bigquery_utils.py:424)
+VECTOR_SIM_THRESHOLD = 0.7
+# Soundex-equal fixed score (bigquery_utils.py:361-366)
+SOUNDEX_EQUAL_SCORE = 0.8
+
+# Business-rule scores (bigquery_utils.py:438-470)
+SAME_COMPANY_SCORE = 0.3
+SAME_LOCATION_SCORE = 0.2
+AGE_365_SCORE = 0.4
+AGE_1825_SCORE = 0.2
+INCOME_RATIO_MIN = 0.8
+INCOME_SCORE = 0.1
+
+
+@dataclass
+class EngineConfig:
+    """Tunable knobs for the ER pipeline."""
+
+    # weight profile: "4way" (default, fully deterministic) or "5way"
+    weight_profile: str = "4way"
+    weights: dict = field(default_factory=lambda: dict(WEIGHTS_4WAY))
+
+    # blocking
+    lsh_num_perm: int = 64
+    lsh_bands: int = 16           # 16 bands x 4 rows
+    lsh_shingle_k: int = 3
+    max_block_size: int = 200     # salting cap: blocks larger than this are split
+    use_metaphone_key: bool = True
+    use_media_ref_key: bool = True
+
+    # embeddings
+    embedding_dim: int = 64
+
+    # scoring / execution
+    pair_batch_size: int = 4096
+    score_batch_size: int = 8192
+
+    # clustering
+    max_cc_iterations: int = 50
+    cc_num_partitions: int = 16
+
+    def __post_init__(self) -> None:
+        if self.weight_profile == "5way":
+            self.weights = dict(WEIGHTS_5WAY)
+        elif self.weight_profile == "4way":
+            self.weights = dict(WEIGHTS_4WAY)
+
+
+DEFAULT_CONFIG = EngineConfig()

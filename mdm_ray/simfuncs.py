@@ -1,0 +1,216 @@
+"""Batched similarity kernels (NumPy-vectorized where it counts).
+
+These power the O(pairs) hot path, so the per-pair work is vectorized across
+the whole batch of candidate pairs:
+
+* ``levenshtein_batch`` — one dynamic-programming sweep where every NumPy op
+  spans all pairs at once (no per-pair Python DP as in the reference's
+  ``streaming_mdm_gcp/streaming_processor.py:155-194``).
+* ``edit_similarity_batch`` — ``1 - dist/GREATEST(len1,len2)`` clamped to
+  [0,1], the reference's score (``batch_mdm_gcp/bigquery_utils.py:354-359``).
+* ``token_overlap_batch`` — |tokens(a) present in tokens(b)| /
+  max(#tokens(a), #tokens(b)), split on single space, duplicates on a's side
+  counted — exactly ``bigquery_utils.py:376-388``.
+* ``jaro_winkler_batch`` — standard Jaro-Winkler (prefix ≤4, scale 0.1,
+  boost threshold 0.7); north-star addition, validated against DuckDB's
+  ``jaro_winkler_similarity`` in tests.
+* ``cosine_batch`` — rowwise cosine similarity (``1 - COSINE_DISTANCE``,
+  ``bigquery_utils.py:417``).
+* ``char_jaccard_batch`` / ``ngram_jaccard_batch`` — set Jaccard over
+  characters / char-n-grams (DuckDB ``jaccard`` is the n=1 case).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_LEV_LEN = 64  # truncation guard for the DP sweep (names/addresses are short)
+
+
+def _encode_padded(strings: list[str | None], max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Return (codes[N, L] int32 padded with -1, lengths[N] int32)."""
+    n = len(strings)
+    lens = np.zeros(n, dtype=np.int32)
+    codes = np.full((n, max_len), -1, dtype=np.int32)
+    for k, s in enumerate(strings):
+        if not s:
+            continue
+        s = s[:max_len]
+        lens[k] = len(s)
+        codes[k, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    return codes, lens
+
+
+def levenshtein_batch(a: list[str | None], b: list[str | None], max_len: int = _MAX_LEV_LEN) -> np.ndarray:
+    """Levenshtein distances for N string pairs in one vectorized DP sweep.
+
+    Strings longer than ``max_len`` are truncated (config guard — candidate
+    fields are short). Empty/None counts as length 0.
+    """
+    assert len(a) == len(b)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    la_max = min(max((len(s) if s else 0) for s in a), max_len)
+    lb_max = min(max((len(s) if s else 0) for s in b), max_len)
+    ca, la = _encode_padded(a, max(la_max, 1))
+    cb, lb = _encode_padded(b, max(lb_max, 1))
+
+    result = np.empty(n, dtype=np.int32)
+    # pairs where a is empty: distance = len(b)
+    done = la == 0
+    result[done] = lb[done]
+
+    prev = np.broadcast_to(np.arange(lb_max + 1, dtype=np.int32), (n, lb_max + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, la_max + 1):
+        cur[:, 0] = i
+        ai = ca[:, i - 1][:, None]          # [N,1]
+        sub_cost = (cb[:, :lb_max] != ai).astype(np.int32)  # [N, lb_max]
+        # deletion / substitution are per-j independent; insertion is a scan
+        del_sub = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub_cost)
+        # insertion: cur[:, j] = min(del_sub[:, j-1], cur[:, j-1] + 1)
+        # running-min scan: cur[j] = min over k<=j of (del_sub[k] + (j-k))
+        # computed via prefix-min of (del_sub - j_index) + j_index
+        shifted = del_sub - np.arange(lb_max, dtype=np.int32)[None, :]
+        np.minimum.accumulate(shifted, axis=1, out=shifted)
+        cur[:, 1:] = shifted + np.arange(lb_max, dtype=np.int32)[None, :]
+        # also allow path through cur[:,0] + j (all-insertions after i deletions)
+        cur[:, 1:] = np.minimum(cur[:, 1:], cur[:, 0][:, None] + np.arange(1, lb_max + 1, dtype=np.int32)[None, :])
+        hit = (~done) & (la == i)
+        if hit.any():
+            result[hit] = cur[hit, lb[hit]]
+            done |= hit
+        prev, cur = cur, prev
+    return result
+
+
+def edit_similarity_batch(a: list[str | None], b: list[str | None]) -> np.ndarray:
+    """1 - dist/max(len) clamped to [0,1]; 0.0 when either side empty/None.
+
+    Matches bigquery_utils.py:354-359 (NULL guard) and the streaming clamp at
+    streaming_processor.py:192-194.
+    """
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    valid = np.array([bool(x) and bool(y) for x, y in zip(a, b)])
+    if not valid.any():
+        return out
+    idx = np.nonzero(valid)[0]
+    sa = [a[i] for i in idx]
+    sb = [b[i] for i in idx]
+    dist = levenshtein_batch(sa, sb).astype(np.float64)
+    mx = np.maximum([len(s) for s in sa], [len(s) for s in sb]).astype(np.float64)
+    out[idx] = np.clip(1.0 - dist / mx, 0.0, 1.0)
+    return out
+
+
+def token_overlap(a: str | None, b: str | None) -> float:
+    """bigquery_utils.py:376-388: count tokens of a present in b's token set,
+    over max(#tokens a, #tokens b); SPLIT(' ') keeps empty tokens."""
+    if not a or not b:
+        return 0.0
+    ta = a.split(" ")
+    tb = b.split(" ")
+    b_set = set(tb)
+    inter = sum(1 for t in ta if t in b_set)
+    return inter / max(len(ta), len(tb))
+
+
+def token_overlap_batch(a: list[str | None], b: list[str | None]) -> np.ndarray:
+    return np.array([token_overlap(x, y) for x, y in zip(a, b)], dtype=np.float64)
+
+
+# ---- Jaro-Winkler ------------------------------------------------------------
+
+def jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str | None, s2: str | None, prefix_weight: float = 0.1,
+                 boost_threshold: float = 0.7) -> float:
+    """Standard Jaro-Winkler; matches DuckDB jaro_winkler_similarity."""
+    if not s1 or not s2:
+        return 0.0
+    j = jaro(s1, s2)
+    if j > boost_threshold:
+        prefix = 0
+        for c1, c2 in zip(s1[:4], s2[:4]):
+            if c1 == c2:
+                prefix += 1
+            else:
+                break
+        j += prefix * prefix_weight * (1.0 - j)
+    return j
+
+
+def jaro_winkler_batch(a: list[str | None], b: list[str | None]) -> np.ndarray:
+    return np.array([jaro_winkler(x, y) for x, y in zip(a, b)], dtype=np.float64)
+
+
+# ---- vector / set similarity -------------------------------------------------
+
+def cosine_batch(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rowwise cosine similarity of two [N, D] float matrices (0.0 on zero norm)."""
+    nu = np.linalg.norm(u, axis=1)
+    nv = np.linalg.norm(v, axis=1)
+    denom = nu * nv
+    dots = np.einsum("ij,ij->i", u, v)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(denom > 0, dots / denom, 0.0)
+    return out
+
+
+def ngram_set(s: str, n: int) -> set:
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i: i + n] for i in range(len(s) - n + 1)}
+
+
+def ngram_jaccard(a: str | None, b: str | None, n: int = 1) -> float:
+    """Set Jaccard over char n-grams; n=1 matches DuckDB ``jaccard``."""
+    if not a or not b:
+        return 0.0
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_batch(a, b, n: int = 1) -> np.ndarray:
+    return np.array([ngram_jaccard(x, y, n) for x, y in zip(a, b)], dtype=np.float64)
+
+
+char_jaccard_batch = ngram_jaccard_batch

@@ -1,0 +1,183 @@
+"""Unit tests for the pure similarity / phonetic / normalization kernels.
+
+Where DuckDB has an equivalent built-in (levenshtein, jaro_winkler_similarity,
+jaccard, list_cosine_similarity) we property-test against it — the same oracle
+the driver uses for query verification.
+"""
+
+import random
+import string
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mdm_ray import phonetic, simfuncs, simhash, textnorm
+from mdm_ray.minhash import MinHasher, minhash_jaccard_estimate
+
+
+def _rand_strings(n, maxlen=20, alphabet=string.ascii_uppercase + " ", seed=7):
+    rng = random.Random(seed)
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, maxlen))) for _ in range(n)]
+
+
+# ---- textnorm ----------------------------------------------------------------
+
+def test_clean_name():
+    arr = pa.array(["  John O'Brien-3rd ", "ALICE", None, "a1b2"])
+    out = textnorm.clean_name(arr).to_pylist()
+    assert out == ["JOHN OBRIENRD", "ALICE", None, "AB"]
+
+
+def test_clean_email_phone():
+    assert textnorm.clean_email(pa.array([" Bob@X.COM "])).to_pylist() == ["bob@x.com"]
+    assert textnorm.clean_phone(pa.array(["(555) 123-4567", None])).to_pylist() == ["5551234567", None]
+
+
+def test_clean_address_abbrev():
+    arr = pa.array(["123 Main Street", "9 Oak Avenue Apt 2", "5 Streetwise Road"])
+    out = textnorm.clean_address(arr).to_pylist()
+    # word-boundary only: STREETWISE must not be rewritten
+    assert out == ["123 MAIN ST", "9 OAK AVE APT 2", "5 STREETWISE RD"]
+
+
+def test_standardize_table_nullify():
+    t = pa.table({"full_name": ["Jo", ""], "email": ["A@B.c", None]})
+    out = textnorm.standardize_table(t)
+    assert out["full_name_clean"].to_pylist() == ["JO", None]
+    assert out["email_clean"].to_pylist() == ["a@b.c", None]
+
+
+# ---- phonetic ----------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name,code",
+    [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),
+        ("Ashcraft", "A261"),   # H/W transparency
+        ("Ashcroft", "A261"),
+        ("Tymczak", "T522"),
+        ("Pfister", "P236"),
+        ("Honeyman", "H555"),
+        ("", ""),
+        (None, ""),
+    ],
+)
+def test_soundex_known(name, code):
+    assert phonetic.soundex(name) == code
+
+
+def test_soundex_nickname_collision():
+    assert phonetic.soundex("JOHN SMITH") == phonetic.soundex("JON SMITH")
+
+
+def test_metaphone_basics():
+    assert phonetic.metaphone("Smith") == phonetic.metaphone("Smyth") == "SM0"
+    assert phonetic.metaphone("Knight").startswith("N")
+    assert phonetic.metaphone("Xavier")[0] == "S"
+    assert phonetic.metaphone("") == ""
+
+
+# ---- levenshtein / edit similarity -------------------------------------------
+
+def test_levenshtein_vs_duckdb():
+    a = _rand_strings(300, seed=1)
+    b = _rand_strings(300, seed=2)
+    ours = simfuncs.levenshtein_batch(a, b)
+    con = duckdb.connect()
+    theirs = [
+        con.execute("select levenshtein(?, ?)", [x, y]).fetchone()[0]
+        for x, y in zip(a, b)
+    ]
+    assert ours.tolist() == theirs
+
+
+def test_edit_similarity_semantics():
+    # SQL: 1 - dist/GREATEST(len), NULL-guarded to 0.0
+    out = simfuncs.edit_similarity_batch(["KITTEN", None, "AB"], ["SITTING", "X", ""])
+    assert out[1] == 0.0 and out[2] == 0.0
+    assert abs(out[0] - (1 - 3 / 7)) < 1e-12
+
+
+def test_token_overlap():
+    # duplicates on a's side counted; max of token counts in denominator
+    assert simfuncs.token_overlap("A B A", "A C") == 2 / 3
+    assert simfuncs.token_overlap("A B", "B A X") == 2 / 3
+    assert simfuncs.token_overlap(None, "A") == 0.0
+
+
+# ---- jaro-winkler ------------------------------------------------------------
+
+def test_jaro_winkler_vs_duckdb():
+    a = _rand_strings(300, maxlen=12, seed=3)
+    b = _rand_strings(300, maxlen=12, seed=4)
+    # include classic pairs
+    a += ["MARTHA", "DWAYNE", "DIXON"]
+    b += ["MARHTA", "DUANE", "DICKSONX"]
+    con = duckdb.connect()
+    for x, y in zip(a, b):
+        theirs = con.execute("select jaro_winkler_similarity(?, ?)", [x, y]).fetchone()[0]
+        assert abs(simfuncs.jaro_winkler(x, y) - theirs) < 1e-9, (x, y)
+
+
+def test_char_jaccard_vs_duckdb():
+    a = _rand_strings(200, seed=5)
+    b = _rand_strings(200, seed=6)
+    con = duckdb.connect()
+    for x, y in zip(a, b):
+        if not x or not y:
+            continue  # DuckDB jaccard raises on empty input; we define 0.0
+        theirs = con.execute("select jaccard(?, ?)", [x, y]).fetchone()[0]
+        ours = simfuncs.ngram_jaccard(x, y, 1)
+        assert abs(ours - theirs) < 1e-9, (x, y)
+
+
+# ---- cosine ------------------------------------------------------------------
+
+def test_cosine_batch():
+    u = np.array([[1.0, 0.0], [1.0, 2.0], [0.0, 0.0]])
+    v = np.array([[0.0, 1.0], [2.0, 4.0], [1.0, 1.0]])
+    out = simfuncs.cosine_batch(u, v)
+    assert abs(out[0]) < 1e-12
+    assert abs(out[1] - 1.0) < 1e-12
+    assert out[2] == 0.0
+
+
+# ---- minhash / simhash -------------------------------------------------------
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=128, shingle_k=3, bands=16)
+    s1 = "the quick brown fox jumps over the lazy dog"
+    s2 = "the quick brown fox jumped over the lazy dog"
+    est = minhash_jaccard_estimate(mh.signature(s1), mh.signature(s2))
+    true_j = simfuncs.ngram_jaccard(s1, s2, 3) if False else None
+    g1 = {s1[i:i + 3] for i in range(len(s1) - 2)}
+    g2 = {s2[i:i + 3] for i in range(len(s2) - 2)}
+    true = len(g1 & g2) / len(g1 | g2)
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_lsh_bands_collide_for_near_dupes():
+    mh = MinHasher(num_perm=64, shingle_k=3, bands=16)
+    k1 = set(mh.band_keys(mh.signature("JOHN SMITH 123 MAIN ST SPRINGFIELD")))
+    k2 = set(mh.band_keys(mh.signature("JON SMITH 123 MAIN ST SPRINGFIELD")))
+    k3 = set(mh.band_keys(mh.signature("COMPLETELY DIFFERENT PERSON ELSEWHERE")))
+    assert k1 & k2
+    assert not (k1 & k3)
+    assert mh.band_keys(mh.signature("")) == []
+
+
+def test_minhash_deterministic():
+    a = MinHasher(num_perm=64).signature("hello world")
+    b = MinHasher(num_perm=64).signature("hello world")
+    assert (a == b).all()
+
+
+def test_simhash_near_dup():
+    f1 = simhash.simhash64("the quick brown fox jumps over the lazy dog")
+    f2 = simhash.simhash64("the quick brown fox jumps over the lazy cat")
+    f3 = simhash.simhash64("completely unrelated text about databases")
+    assert simhash.hamming64(f1, f2) < simhash.hamming64(f1, f3)
+    assert set(simhash.band_keys(f1)) & set(simhash.band_keys(f2))
