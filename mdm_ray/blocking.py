@@ -1,0 +1,192 @@
+"""Blocking-key generation + skew salting.
+
+Replaces the reference's unblocked O(N²) CROSS JOIN candidate generation
+(``batch_mdm_gcp/bigquery_utils.py:330-332, 390-392, 419-424, 472-474``) with
+key-based blocking — the architectural change that makes 10^12-doc scale
+possible:
+
+* ``e:`` exact email_clean (J1 semantics, bigquery_utils.py:312-316)
+* ``p:`` exact phone_clean (J1, :318-322)
+* ``n:`` phonetic name key — Soundex + Metaphone of full_name_clean
+  (upgrade over the reference's post-hoc SOUNDEX scoring, :361-366)
+* ``l:`` MinHash-LSH band keys over name+address+city shingles (north-star)
+* ``m:`` exact media_ref (interleaved-payload extension: shared attachments)
+
+Skew handling (explicit, per the north rule): a first cheap pass counts block
+sizes; keys whose block exceeds ``cfg.max_block_size`` are split into
+``m = ceil(size/cap)`` deterministic hash-chunks, and each member row is
+re-emitted once per chunk-pair ``(i, j), i<=j`` it participates in, under the
+salted key ``<key>#i_j`` with its own chunk id carried in the ``chunk`` /
+``chunk_pair`` columns. Pair generation then pairs only (chunk_a != chunk_b)
+rows for i<j groups and all rows for i==j groups, so every original
+within-block pair is produced exactly once across salted groups — verified by
+pair-multiset equality tests vs unsalted blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import zlib
+
+from .config import EngineConfig, DEFAULT_CONFIG
+from .minhash import MinHasher
+from .phonetic import metaphone, soundex
+
+# columns carried through the blocking shuffle into pair scoring
+SCORING_FIELDS = [
+    "doc_id",
+    "source_system",
+    "full_name_clean",
+    "email_clean",
+    "phone_clean",
+    "address_clean",
+    "city_clean",
+    "state_clean",
+    "company",
+    "dob_days",
+    "name_soundex",
+    "embedding",
+]
+
+
+def prep_scoring_columns(batch: pa.Table) -> pa.Table:
+    """Add per-doc derived columns used by blocking + scoring (once per doc,
+    never per pair): soundex/metaphone of the clean name, DOB in epoch days."""
+    names = batch["full_name_clean"].to_pylist()
+    batch = batch.append_column("name_soundex", pa.array([soundex(x) for x in names], pa.string()))
+    batch = batch.append_column("name_metaphone", pa.array([metaphone(x) for x in names], pa.string()))
+    dob = batch["date_of_birth"].to_pylist() if "date_of_birth" in batch.column_names else [None] * batch.num_rows
+    days = np.full(len(dob), None, dtype=object)
+    for i, d in enumerate(dob):
+        if d:
+            try:
+                days[i] = int(np.datetime64(d, "D").astype(np.int64))
+            except ValueError:
+                pass
+    batch = batch.append_column("dob_days", pa.array(days.tolist(), pa.int32()))
+    return batch
+
+
+class BlockKeyEmitter:
+    """map_batches actor: holds the MinHasher state (built once per actor)."""
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.mh = MinHasher(
+            num_perm=cfg.lsh_num_perm, shingle_k=cfg.lsh_shingle_k, bands=cfg.lsh_bands
+        )
+
+    def keys_for_row(self, row: dict) -> list[str]:
+        keys = []
+        if row.get("email_clean"):
+            keys.append("e:" + row["email_clean"])
+        if row.get("phone_clean"):
+            keys.append("p:" + row["phone_clean"])
+        name = row.get("full_name_clean")
+        if name:
+            sx = row.get("name_soundex") or soundex(name)
+            mp = row.get("name_metaphone") or metaphone(name)
+            if self.cfg.use_metaphone_key:
+                keys.append(f"n:{sx}|{mp}")
+            else:
+                keys.append(f"n:{sx}")
+            content = " ".join(
+                filter(None, [name, row.get("address_clean"), row.get("city_clean")])
+            )
+            for bk in self.mh.band_keys(self.mh.signature(content)):
+                keys.append("l:" + bk)
+        if self.cfg.use_media_ref_key:
+            for ref in row.get("media_refs") or []:
+                keys.append("m:" + ref)
+        return keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols_present = [c for c in SCORING_FIELDS if c in batch.column_names]
+        rows = batch.select(
+            [c for c in set(cols_present + ["media_refs", "name_metaphone"]) if c in batch.column_names]
+        ).to_pylist()
+        out_keys: list[str] = []
+        key_lists: list[list[str]] = []
+        take_idx: list[int] = []
+        for i, row in enumerate(rows):
+            keys = sorted(set(self.keys_for_row(row)))
+            for k in keys:
+                out_keys.append(k)
+                key_lists.append(keys)
+                take_idx.append(i)
+        taken = batch.select(cols_present).take(pa.array(take_idx, pa.int64()))
+        taken = taken.append_column("block_key", pa.array(out_keys, pa.string()))
+        return taken.append_column(
+            "block_keys", pa.array(key_lists, pa.list_(pa.string()))
+        )
+
+
+def oversized_blocks(blocked_ds, cap: int) -> dict[str, int]:
+    """Keys whose block exceeds ``cap``. The groupby-count shuffle moves only
+    (key, count) pairs, and the > cap filter runs distributed, so only the
+    (few) hot keys ever reach the driver — safe at 10^12-doc scale."""
+    counts = blocked_ds.groupby("block_key").count()
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], cap)), batch_format="pyarrow"
+    )
+    return {r["block_key"]: r["count()"] for r in hot.take_all()}
+
+
+def salt_batch(batch: pa.Table, hot: dict[str, int], cap: int) -> pa.Table:
+    """Split rows of oversized blocks into chunk-pair salted groups (see module
+    docstring); rows of normal blocks pass through with chunk=0, pair (0,0)."""
+    keys = batch["block_key"].to_pylist()
+    doc_ids = batch["doc_id"].to_pylist()
+    take_idx: list[int] = []
+    new_keys: list[str] = []
+    chunks: list[int] = []
+    for i, (k, d) in enumerate(zip(keys, doc_ids)):
+        size = hot.get(k)
+        if not size:
+            take_idx.append(i)
+            new_keys.append(k)
+            chunks.append(0)
+            continue
+        m = -(-size // cap)
+        c = zlib.crc32(d.encode()) % m
+        for a in range(m):
+            lo, hi = min(a, c), max(a, c)
+            take_idx.append(i)
+            new_keys.append(f"{k}#{lo}_{hi}")
+            chunks.append(c)
+    out = batch.take(pa.array(take_idx, pa.int64()))
+    out = out.drop_columns(["block_key"])
+    out = out.append_column("block_key", pa.array(new_keys, pa.string()))
+    out = out.append_column("chunk", pa.array(chunks, pa.int32()))
+    return out
+
+
+def build_blocked(features_ds, cfg: EngineConfig = DEFAULT_CONFIG, skip_salting: bool = False):
+    """features Dataset -> salted (block_key, scoring-fields, chunk) Dataset."""
+    blocked = features_ds.map_batches(
+        BlockKeyEmitter, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    if skip_salting:
+        return blocked.map_batches(
+            lambda b: b.append_column("chunk", pa.array([0] * b.num_rows, pa.int32())),
+            batch_format="pyarrow",
+        )
+    blocked = blocked.materialize()
+    hot = oversized_blocks(blocked, cfg.max_block_size)
+    if not hot:
+        return blocked.map_batches(
+            lambda b: b.append_column("chunk", pa.array([0] * b.num_rows, pa.int32())),
+            batch_format="pyarrow",
+        )
+    import ray
+
+    hot_ref = ray.put(hot)
+    cap = cfg.max_block_size
+
+    def apply_salt(batch: pa.Table) -> pa.Table:
+        return salt_batch(batch, ray.get(hot_ref), cap)
+
+    return blocked.map_batches(apply_salt, batch_format="pyarrow")

@@ -1,0 +1,159 @@
+"""Distributed transitive clustering: iterative min-label propagation.
+
+The reference approximates transitive closure with exactly TWO rounds of
+1-hop min-label propagation in SQL (``batch_mdm_gcp/bigquery_utils.py:684-716``
+— "simplified transitive closure"), which is wrong for chains longer than two
+hops. This engine implements the real fixpoint: per iteration every node takes
+``min(own label, min of neighbors' labels)`` via a hash-partitioned
+``Dataset.join`` (edges ⋈ labels) + ``groupby(node)`` exchange, looping until
+no label changes (driver-controlled, ``cfg.max_cc_iterations`` cap).
+Convergence is O(component diameter) iterations — small for ER duplicate
+graphs. Matches the reference output whenever 2 hops suffice, and is correct
+beyond.
+
+Edges come from scored pairs with ``match_decision ∈ {auto_merge,
+human_review}`` and ``combined_score ≥ 0.6`` (``bigquery_utils.py:645-653``);
+unmatched records remain singleton clusters (``:663-682``) because labels are
+seeded from ALL doc_ids.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import config as C
+from .config import EngineConfig, DEFAULT_CONFIG
+
+
+def build_edges(scored_ds):
+    """Bidirectional edge list from scored pairs (bigquery_utils.py:645-660)."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(batch["match_decision"], value_set=pa.array(["auto_merge", "human_review"])),
+            pc.greater_equal(batch["combined_score"], C.CLUSTER_EDGE_THRESHOLD),
+        )
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [kept["doc1_id"].combine_chunks(), kept["doc2_id"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [kept["doc2_id"].combine_chunks(), kept["doc1_id"].combine_chunks()]
+                ),
+            }
+        )
+
+    return scored_ds.map_batches(to_edges, batch_format="pyarrow")
+
+
+def init_labels(docs_or_features_ds):
+    """Every doc starts in its own cluster (bigquery_utils.py:663-682)."""
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["doc_id"], "label": batch["doc_id"]})
+
+    return docs_or_features_ds.select_columns(["doc_id"]).map_batches(
+        seed, batch_format="pyarrow"
+    )
+
+
+def _min_label_block(batch: pa.Table):
+    """Grouped-min over a sorted-by-node block: for each node emit
+    (node, min(label), changed) where changed = min < the node's own previous
+    label (the row with is_self=1)."""
+    import numpy as np
+
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "label": pa.array([], pa.string()),
+                "changed": pa.array([], pa.int64()),
+            }
+        )
+    nodes = np.asarray(batch["node"].to_pylist(), dtype=object)
+    labels = np.asarray(batch["label"].to_pylist(), dtype=object)
+    is_self = batch["is_self"].to_numpy(zero_copy_only=False)
+    change = np.nonzero(nodes[1:] != nodes[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    stops = np.concatenate((change, [n]))
+    out_nodes, out_labels, out_changed = [], [], []
+    for s, e in zip(starts, stops):
+        grp_labels = labels[s:e]
+        mn = grp_labels.min()
+        self_rows = np.nonzero(is_self[s:e])[0]
+        old = grp_labels[self_rows[0]] if len(self_rows) else None
+        out_nodes.append(nodes[s])
+        out_labels.append(mn)
+        out_changed.append(int(old is not None and mn != old))
+    return pa.table(
+        {
+            "node": pa.array(out_nodes, pa.string()),
+            "label": pa.array(out_labels, pa.string()),
+            "changed": pa.array(out_changed, pa.int64()),
+        }
+    )
+
+
+def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Iterate min-label propagation to fixpoint.
+
+    Per iteration (all hash-partitioned, no driver data movement):
+      msgs   = edges ⋈ labels on dst       → (src, neighbor_label)
+      union  = msgs ∪ labels(self-tagged)
+      labels = sort(node) → grouped min    → (node, min_label, changed)
+      stop when sum(changed) == 0
+    """
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return labels_ds.select_columns(["node", "label"])
+    labels = labels_ds.materialize()
+
+    for _ in range(cfg.max_cc_iterations):
+        msgs = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=cfg.cc_num_partitions,
+            on=("dst",),
+            right_on=("node",),
+        )
+
+        def msg_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["src"],
+                    "label": batch["label"],
+                    "is_self": pa.array([0] * batch.num_rows, pa.int8()),
+                }
+            )
+
+        def self_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "label": batch["label"],
+                    "is_self": pa.array([1] * batch.num_rows, pa.int8()),
+                }
+            )
+
+        union = msgs.map_batches(msg_rows, batch_format="pyarrow").union(
+            labels.map_batches(self_rows, batch_format="pyarrow")
+        )
+        new_labels = union.sort("node").map_batches(
+            _min_label_block, batch_size=None, batch_format="pyarrow"
+        ).materialize()
+        changed = new_labels.sum("changed")
+        # repartition: merges away the schema-less empty blocks that the hash
+        # join emits for empty partitions (they crash downstream Arrow joins)
+        labels = (
+            new_labels.drop_columns(["changed"])
+            .repartition(cfg.cc_num_partitions)
+            .materialize()
+        )
+        if not changed:
+            break
+    return labels

@@ -64,6 +64,9 @@ class EngineConfig:
     weight_profile: str = "4way"
     weights: dict = field(default_factory=lambda: dict(WEIGHTS_4WAY))
 
+    # scoring extensions
+    use_jaro_winkler: bool = True   # north-star addition to the fuzzy name max
+
     # blocking
     lsh_num_perm: int = 64
     lsh_bands: int = 16           # 16 bands x 4 rows

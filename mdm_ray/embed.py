@@ -1,0 +1,78 @@
+"""Embedding stage: actor-pool map_batches with a deterministic local model.
+
+The reference calls a remote Vertex model through SQL
+(``ML.GENERATE_EMBEDDING``, ``batch_mdm_gcp/bigquery_utils.py:240-259``,
+768-dim) over the content string
+``CONCAT(name, ' ', email, ' ', address, ' ', city, ' ', company)``
+(``:248-254``). That model is not reproducible offline, so the engine ships a
+deterministic **feature-hashing embedder** (char-3-gram hashing into a
+``dim``-dimensional signed space, L2-normalized — the classic hashing trick):
+same interface, stable across runs/parallelism, swappable for a real model via
+the same actor-pool signature (``map_batches(Cls, concurrency=..., batch_size=...)``).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def content_string(batch: pa.Table) -> list[str]:
+    """IFNULL-concat of name/email/address/city/company — bigquery_utils.py:248-254."""
+    cols = []
+    for name in ["full_name_clean", "email_clean", "address_clean", "city_clean", "company"]:
+        if name in batch.column_names:
+            cols.append(batch[name].to_pylist())
+        else:
+            cols.append([None] * batch.num_rows)
+    return [
+        " ".join("" if v is None else str(v) for v in row)
+        for row in zip(*cols)
+    ]
+
+
+class HashingEmbedder:
+    """Callable-class map_batches stage: state built once per actor."""
+
+    def __init__(self, dim: int = 64, ngram: int = 3, column: str = "embedding"):
+        self.dim = dim
+        self.ngram = ngram
+        self.column = column
+
+    def embed_one(self, text: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float32)
+        t = text.lower()
+        k = self.ngram
+        if len(t) < k:
+            grams = [t] if t else []
+        else:
+            grams = [t[i: i + k] for i in range(len(t) - k + 1)]
+        for g in grams:
+            h = zlib.crc32(g.encode("utf-8"))
+            idx = h % self.dim
+            sign = 1.0 if (h >> 16) & 1 else -1.0
+            v[idx] += sign
+        n = np.linalg.norm(v)
+        if n > 0:
+            v /= n
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = content_string(batch)
+        mat = np.stack([self.embed_one(t) for t in texts]) if texts else np.zeros((0, self.dim), np.float32)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), pa.float32()), self.dim
+        )
+        return batch.append_column(self.column, pa.array(col.to_pylist(), pa.list_(pa.float32())))
+
+
+def add_embeddings(features_ds, dim: int = 64, concurrency=(1, 8), batch_size: int = 4096):
+    return features_ds.map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

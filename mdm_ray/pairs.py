@@ -1,0 +1,169 @@
+"""Within-block candidate-pair generation with shuffle-free dedup.
+
+The Ray-native replacement for the reference's CROSS JOIN + UNION DISTINCT
+(``batch_mdm_gcp/bigquery_utils.py:330-332`` pair-space halving via
+``record_id <``; ``:563-576`` pair dedup across strategies):
+
+* one ``sort(block_key)`` range-partitions rows so every blocking group is
+  complete inside one block (Ray's sort co-locates equal key values — the
+  same guarantee ``map_groups`` relies on), then a *block-level* generator
+  kernel emits pairs for all groups in the block in one vectorized pass —
+  no per-group UDF dispatch;
+* pairs are canonicalized ``(min(doc_id), max(doc_id))``;
+* **dedup without a second shuffle**: every row carries its full sorted key
+  list (``block_keys``); a pair is emitted only inside the lexicographically
+  smallest key both docs share, so a pair discovered under several keys
+  materializes exactly once;
+* salted groups ``<key>#i_j`` (see ``blocking.salt_batch``) pair chunk-i rows
+  with chunk-j rows only (all pairs when i==j), reproducing the unsalted pair
+  multiset exactly.
+
+The kernel yields output in ~``max_pairs_per_chunk`` slices so the streaming
+executor can pipeline scoring without materializing a block's full pair set.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .blocking import SCORING_FIELDS
+
+MAX_PAIRS_PER_CHUNK = 131_072
+
+
+def _first_common_key(keys_a: list[str], keys_b: list[str]) -> str | None:
+    """First common element of two sorted lists (early-exit merge walk)."""
+    i = j = 0
+    la, lb = len(keys_a), len(keys_b)
+    while i < la and j < lb:
+        ka, kb = keys_a[i], keys_b[j]
+        if ka == kb:
+            return ka
+        if ka < kb:
+            i += 1
+        else:
+            j += 1
+    return None
+
+
+def _emit_group(
+    doc_ids: np.ndarray,
+    chunks: np.ndarray | None,
+    key: str,
+    start: int,
+    stop: int,
+) -> tuple[np.ndarray, np.ndarray, str]:
+    """Index pairs (ii, jj) for one blocking group plus its unsalted base key."""
+    n = stop - start
+    if "#" in key and key.rsplit("#", 1)[1].count("_") == 1:
+        base, salt = key.rsplit("#", 1)
+        try:
+            i_chunk, j_chunk = (int(x) for x in salt.split("_"))
+        except ValueError:
+            base, i_chunk, j_chunk = key, 0, 0
+    else:
+        base, i_chunk, j_chunk = key, 0, 0
+    if i_chunk == j_chunk:
+        ii, jj = np.triu_indices(n, k=1)
+        ii = ii + start
+        jj = jj + start
+    else:
+        c = chunks[start:stop]
+        left = np.nonzero(c == i_chunk)[0] + start
+        right = np.nonzero(c == j_chunk)[0] + start
+        ii = np.repeat(left, len(right))
+        jj = np.tile(right, len(left))
+    return ii.astype(np.int64), jj.astype(np.int64), base
+
+
+def emit_pairs_block(batch: pa.Table) -> Iterator[pa.Table]:
+    """map_batches generator kernel over a sorted-by-block_key block."""
+    fields = [f for f in SCORING_FIELDS if f in batch.column_names]
+    n = batch.num_rows
+    if n == 0:
+        yield _empty_pairs(batch, fields)
+        return
+    keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+    doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+    key_lists = batch["block_keys"].to_pylist()
+    chunks = (
+        batch["chunk"].to_numpy(zero_copy_only=False)
+        if "chunk" in batch.column_names
+        else None
+    )
+    # group boundaries within the sorted block
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    stops = np.concatenate((change, [n]))
+
+    pend_ii: list[np.ndarray] = []
+    pend_jj: list[np.ndarray] = []
+    pending = 0
+    emitted_any = False
+
+    def flush() -> pa.Table:
+        ii = np.concatenate(pend_ii)
+        jj = np.concatenate(pend_jj)
+        pend_ii.clear()
+        pend_jj.clear()
+        swap = doc_ids[ii] > doc_ids[jj]
+        a = np.where(swap, jj, ii)
+        b = np.where(swap, ii, jj)
+        left = batch.select(fields).take(pa.array(a, pa.int64()))
+        right = batch.select(fields).take(pa.array(b, pa.int64()))
+        cols = {}
+        for f in fields:
+            cols["1_" + f] = left[f]
+            cols["2_" + f] = right[f]
+        return pa.table(cols)
+
+    for s, e, in zip(starts, stops):
+        if e - s < 2:
+            continue
+        ii, jj, base = _emit_group(doc_ids, chunks, str(keys[s]), s, e)
+        if len(ii) == 0:
+            continue
+        # canonical-key dedup: keep pair only if `base` is the smallest shared key
+        keep = np.fromiter(
+            (
+                _first_common_key(key_lists[x], key_lists[y]) == base
+                for x, y in zip(ii, jj)
+            ),
+            dtype=bool,
+            count=len(ii),
+        )
+        if not keep.any():
+            continue
+        pend_ii.append(ii[keep])
+        pend_jj.append(jj[keep])
+        pending += int(keep.sum())
+        if pending >= MAX_PAIRS_PER_CHUNK:
+            emitted_any = True
+            pending = 0
+            yield flush()
+    if pending:
+        emitted_any = True
+        yield flush()
+    if not emitted_any:
+        yield _empty_pairs(batch, fields)
+
+
+def _empty_pairs(batch: pa.Table, fields: list[str]) -> pa.Table:
+    cols = {}
+    empty = batch.select(fields).slice(0, 0)
+    for f in fields:
+        cols["1_" + f] = empty[f]
+        cols["2_" + f] = empty[f]
+    return pa.table(cols)
+
+
+def build_pairs(blocked_ds):
+    """blocked Dataset -> globally-deduped candidate-pair Dataset (both sides'
+    scoring fields inline; no further shuffle needed before scoring)."""
+    return blocked_ds.sort("block_key").map_batches(
+        emit_pairs_block, batch_size=None, batch_format="pyarrow"
+    )

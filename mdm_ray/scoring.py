@@ -1,0 +1,198 @@
+"""Pair scoring: the 5 strategies + weighted ensemble + decisions, vectorized.
+
+One stateless ``map_batches`` kernel computes ALL strategy scores per pair in
+a single pass over the pair batch (the reference needs 5 CROSS-JOIN tables +
+a 5-way LEFT JOIN re-assembly, ``batch_mdm_gcp/bigquery_utils.py:301-636``;
+here it's column arithmetic on Arrow batches).
+
+Strategy semantics (exact reference parity, cited per formula):
+
+* exact  — email/phone equality → 1.0, overall = GREATEST (bigquery_utils.py:312-337).
+  (The reference also matches on generator-provided ``customer_id`` — ground
+  truth leakage we deliberately do not reproduce; config flag exists.)
+* fuzzy  — name edit-distance score, Soundex-equal 0.8, token overlap,
+  address edit score; name_fuzzy = max of name scores (optionally incl.
+  Jaro-Winkler — north-star addition, on by default); fuzzy_overall =
+  (name_fuzzy + address_score)/2, retained only when any component > 0.5
+  (bigquery_utils.py:342-403).
+* vector — cosine similarity, retained when > 0.7 i.e. distance < 0.3
+  (bigquery_utils.py:406-425).
+* business — company 0.3 + location 0.2 + DOB proximity 0.4/0.2 + income 0.1,
+  unfiltered (bigquery_utils.py:428-475).
+* ai     — deterministic surrogate for the non-reproducible LLM leg (only in
+  the 5-way profile; see config.WEIGHTS_5WAY), filtered per
+  bigquery_utils.py:539-540.
+
+Ensemble: combined = Σ wᵢ·scoreᵢ with the profile's weights; decisions
+auto_merge ≥0.8 / human_review ≥0.6 / else no_match; retain > 0.3
+(bigquery_utils.py:595-635).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import config as C
+from .config import EngineConfig, DEFAULT_CONFIG
+from .simfuncs import (
+    cosine_batch,
+    edit_similarity_batch,
+    jaro_winkler_batch,
+    ngram_jaccard_batch,
+    token_overlap_batch,
+)
+
+PAIR_OUTPUT_COLUMNS = [
+    "doc1_id", "doc2_id", "source1", "source2",
+    "exact_score", "fuzzy_score", "vector_score", "business_score", "ai_score",
+    "combined_score", "match_decision", "confidence_level",
+]
+
+
+def _col(batch: pa.Table, name: str, default=None):
+    if name in batch.column_names:
+        return batch[name].to_pylist()
+    return [default] * batch.num_rows
+
+
+def _eq_nonnull(a: list, b: list) -> np.ndarray:
+    return np.array(
+        [x is not None and x != "" and x == y for x, y in zip(a, b)], dtype=bool
+    )
+
+
+def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    n = batch.num_rows
+    w = cfg.weights
+
+    email1, email2 = _col(batch, "1_email_clean"), _col(batch, "2_email_clean")
+    phone1, phone2 = _col(batch, "1_phone_clean"), _col(batch, "2_phone_clean")
+    name1, name2 = _col(batch, "1_full_name_clean"), _col(batch, "2_full_name_clean")
+    addr1, addr2 = _col(batch, "1_address_clean"), _col(batch, "2_address_clean")
+    city1, city2 = _col(batch, "1_city_clean"), _col(batch, "2_city_clean")
+    state1, state2 = _col(batch, "1_state_clean"), _col(batch, "2_state_clean")
+    comp1, comp2 = _col(batch, "1_company"), _col(batch, "2_company")
+    sx1, sx2 = _col(batch, "1_name_soundex"), _col(batch, "2_name_soundex")
+
+    # ---- exact (bigquery_utils.py:312-337) ----------------------------------
+    email_eq = _eq_nonnull(email1, email2).astype(np.float64)
+    phone_eq = _eq_nonnull(phone1, phone2).astype(np.float64)
+    exact = np.maximum(email_eq, phone_eq)
+
+    # ---- fuzzy (bigquery_utils.py:342-403) ----------------------------------
+    name_edit = edit_similarity_batch(name1, name2)
+    name_soundex = np.where(
+        _eq_nonnull(sx1, sx2), C.SOUNDEX_EQUAL_SCORE, 0.0
+    )
+    name_token = token_overlap_batch(name1, name2)
+    addr_edit = edit_similarity_batch(addr1, addr2)
+    name_fuzzy = np.maximum.reduce([name_edit, name_soundex, name_token])
+    if cfg.use_jaro_winkler:
+        name_jw = jaro_winkler_batch(name1, name2)
+        name_fuzzy = np.maximum(name_fuzzy, name_jw)
+    else:
+        name_jw = np.zeros(n)
+    fuzzy_overall = (name_fuzzy + addr_edit) / 2.0
+    fuzzy_retained = np.maximum(name_fuzzy, addr_edit) > C.FUZZY_RETAIN_THRESHOLD
+    fuzzy = np.where(fuzzy_retained, fuzzy_overall, 0.0)
+
+    # ---- vector (bigquery_utils.py:406-425) ---------------------------------
+    if "1_embedding" in batch.column_names:
+        e1 = batch["1_embedding"].to_pylist()
+        e2 = batch["2_embedding"].to_pylist()
+        valid = np.array([x is not None and y is not None for x, y in zip(e1, e2)])
+        cos = np.zeros(n)
+        if valid.any():
+            idx = np.nonzero(valid)[0]
+            u = np.array([e1[i] for i in idx], dtype=np.float64)
+            v = np.array([e2[i] for i in idx], dtype=np.float64)
+            cos[idx] = cosine_batch(u, v)
+        vector = np.where(cos > C.VECTOR_SIM_THRESHOLD, cos, 0.0)
+    else:
+        cos = np.zeros(n)
+        vector = np.zeros(n)
+
+    # ---- business (bigquery_utils.py:428-475) -------------------------------
+    same_company = np.where(_eq_nonnull(comp1, comp2), C.SAME_COMPANY_SCORE, 0.0)
+    same_loc = np.where(
+        _eq_nonnull(city1, city2) & _eq_nonnull(state1, state2),
+        C.SAME_LOCATION_SCORE, 0.0,
+    )
+    dob1 = _col(batch, "1_dob_days")
+    dob2 = _col(batch, "2_dob_days")
+    dob_ok = np.array([x is not None and y is not None for x, y in zip(dob1, dob2)])
+    diff = np.array(
+        [abs(x - y) if (x is not None and y is not None) else 0 for x, y in zip(dob1, dob2)],
+        dtype=np.int64,
+    )
+    age = np.where(
+        dob_ok & (diff <= 365), C.AGE_365_SCORE,
+        np.where(dob_ok & (diff <= 1825), C.AGE_1825_SCORE, 0.0),
+    )
+    inc1 = np.array([x if x is not None else 0.0 for x in _col(batch, "1_annual_income")], dtype=np.float64)
+    inc2 = np.array([x if x is not None else 0.0 for x in _col(batch, "2_annual_income")], dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(
+            (inc1 > 0) & (inc2 > 0),
+            np.minimum(inc1, inc2) / np.maximum(inc1, inc2),
+            0.0,
+        )
+    income = np.where(ratio >= C.INCOME_RATIO_MIN, C.INCOME_SCORE, 0.0)
+    business = same_company + same_loc + age + income
+
+    # ---- ai surrogate (5-way profile only; deterministic) -------------------
+    if w.get("ai", 0.0) > 0:
+        email_jac = ngram_jaccard_batch(email1, email2, 3)
+        ai_raw = np.round(0.5 * name_fuzzy + 0.3 * addr_edit + 0.2 * email_jac, 6)
+        ai = np.where(ai_raw > 0.4, ai_raw, 0.0)  # bigquery_utils.py:539
+    else:
+        ai = np.zeros(n)
+
+    combined = (
+        w["exact"] * exact
+        + w["fuzzy"] * fuzzy
+        + w["vector"] * vector
+        + w["business"] * business
+        + w.get("ai", 0.0) * ai
+    )
+    decision = np.where(
+        combined >= C.AUTO_MERGE_THRESHOLD, "auto_merge",
+        np.where(combined >= C.HUMAN_REVIEW_THRESHOLD, "human_review", "no_match"),
+    )
+    confidence = np.where(
+        combined >= C.AUTO_MERGE_THRESHOLD, "high",
+        np.where(combined >= C.HUMAN_REVIEW_THRESHOLD, "medium", "low"),
+    )
+
+    out = pa.table(
+        {
+            "doc1_id": batch["1_doc_id"],
+            "doc2_id": batch["2_doc_id"],
+            "source1": batch["1_source_system"] if "1_source_system" in batch.column_names else pa.nulls(n, pa.string()),
+            "source2": batch["2_source_system"] if "2_source_system" in batch.column_names else pa.nulls(n, pa.string()),
+            "exact_score": pa.array(exact, pa.float64()),
+            "fuzzy_score": pa.array(fuzzy, pa.float64()),
+            "name_jw_score": pa.array(name_jw, pa.float64()),
+            "vector_score": pa.array(vector, pa.float64()),
+            "business_score": pa.array(business, pa.float64()),
+            "ai_score": pa.array(ai, pa.float64()),
+            "combined_score": pa.array(combined, pa.float64()),
+            "match_decision": pa.array(decision.tolist(), pa.string()),
+            "confidence_level": pa.array(confidence.tolist(), pa.string()),
+        }
+    )
+    # retain > 0.3 (bigquery_utils.py:634)
+    import pyarrow.compute as pc
+
+    return out.filter(pc.greater(out["combined_score"], C.RETAIN_THRESHOLD))
+
+
+def score_pairs(pairs_ds, cfg: EngineConfig = DEFAULT_CONFIG):
+    import functools
+
+    return pairs_ds.map_batches(
+        functools.partial(score_pairs_batch, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.score_batch_size,
+    )

@@ -1,0 +1,167 @@
+"""Survivorship (golden-record reduce) + deterministic entity IDs.
+
+Reference semantics (``batch_mdm_gcp/bigquery_utils.py:718-806``):
+longest non-null name/address/city/state; most-recent email/phone/company/
+segment; MAX income; record count; sorted-unique source systems; has_* flags;
+``master_id`` = SHA256('email:'+email)[:36] → SHA256('phone:'+phone)[:36] →
+cluster_id (``:766-780``, Python twin ``streaming_processor.py:367-395``).
+
+Scale design: every survivorship rule is associative, so instead of a
+per-cluster Python ``map_groups`` the reduce is a native
+``groupby(cluster_id).aggregate(...)`` with partial aggregation:
+
+* "longest"      → Max over the composite key ``f"{len:04d}|{value}"``
+* "most recent"  → Max over ``f"{recency}|{value}"``
+* lineage        → Unique(doc_id) / Unique(source_system)
+
+Determinism note: in the reference's batch run every row gets the same
+``processed_at`` (``bigquery_utils.py:147``), so its "most recent" pick is
+engine-arbitrary; we define recency = doc_id order (stable, documented) and
+break "longest" ties by value — deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+from ray.data.aggregate import Count, Max, Unique
+
+LONGEST_FIELDS = {
+    "master_name": "full_name_clean",
+    "master_address": "address_clean",
+    "master_city": "city_clean",
+    "master_state": "state_clean",
+}
+RECENT_FIELDS = {
+    "master_email": "email_clean",
+    "master_phone": "phone_clean",
+    "master_company": "company",
+    "master_segment": "customer_segment",
+}
+FLAG_FIELDS = {
+    "has_email": "email_clean",
+    "has_phone": "phone_clean",
+    "has_address": "address_clean",
+}
+
+
+def _rank_columns(batch: pa.Table) -> pa.Table:
+    """Append composite rank columns consumed by the Max aggregators."""
+    doc_ids = batch["doc_id"].to_pylist()
+    for out, src in LONGEST_FIELDS.items():
+        vals = batch[src].to_pylist() if src in batch.column_names else [None] * batch.num_rows
+        batch = batch.append_column(
+            "_rk_" + out,
+            pa.array(
+                [None if v is None else f"{len(v):04d}|{v}" for v in vals],
+                pa.string(),
+            ),
+        )
+    for out, src in RECENT_FIELDS.items():
+        vals = batch[src].to_pylist() if src in batch.column_names else [None] * batch.num_rows
+        batch = batch.append_column(
+            "_rk_" + out,
+            pa.array(
+                [
+                    None if v is None else f"{d}|{v}"
+                    for d, v in zip(doc_ids, vals)
+                ],
+                pa.string(),
+            ),
+        )
+    for out, src in FLAG_FIELDS.items():
+        vals = batch[src].to_pylist() if src in batch.column_names else [None] * batch.num_rows
+        batch = batch.append_column(
+            "_fl_" + out, pa.array([int(v is not None) for v in vals], pa.int64())
+        )
+    return batch
+
+
+def deterministic_master_id(email: str | None, phone: str | None, cluster_id: str) -> str:
+    """bigquery_utils.py:770-780 / streaming_processor.py:379-395."""
+    if email:
+        return hashlib.sha256(f"email:{email}".encode()).hexdigest()[:36]
+    if phone:
+        return hashlib.sha256(f"phone:{phone}".encode()).hexdigest()[:36]
+    return cluster_id
+
+
+def _finalize(batch: pa.Table) -> pa.Table:
+    """Parse composite aggregates into golden-record columns."""
+    n = batch.num_rows
+    cols: dict[str, pa.Array] = {"cluster_id": batch["label"]}
+
+    def split_value(name: str) -> list:
+        vals = batch[f"max(_rk_{name})"].to_pylist()
+        return [None if v is None else v.split("|", 1)[1] for v in vals]
+
+    parsed = {}
+    for out in list(LONGEST_FIELDS) + list(RECENT_FIELDS):
+        parsed[out] = split_value(out)
+
+    cluster_ids = batch["label"].to_pylist()
+    master_ids = [
+        deterministic_master_id(e, p, c)
+        for e, p, c in zip(parsed["master_email"], parsed["master_phone"], cluster_ids)
+    ]
+    cols["master_id"] = pa.array(master_ids, pa.string())
+    for out in list(LONGEST_FIELDS) + list(RECENT_FIELDS):
+        cols[out] = pa.array(parsed[out], pa.string())
+
+    record_ids = [sorted(x) for x in batch["unique(doc_id)"].to_pylist()]
+    cols["source_record_ids"] = pa.array(record_ids, pa.list_(pa.string()))
+    cols["source_record_count"] = pa.array([len(x) for x in record_ids], pa.int64())
+    cols["source_systems"] = pa.array(
+        [sorted(set(x)) for x in batch["unique(source_system)"].to_pylist()],
+        pa.list_(pa.string()),
+    )
+    for out in FLAG_FIELDS:
+        cols[out] = batch[f"max(_fl_{out})"]
+    return pa.table(cols)
+
+
+SURVIVE_INPUT_COLUMNS = [
+    "doc_id", "source_system", "full_name_clean", "email_clean", "phone_clean",
+    "address_clean", "city_clean", "state_clean", "company", "customer_segment",
+]
+
+
+def empty_golden_table() -> pa.Table:
+    fields = [("cluster_id", pa.string()), ("master_id", pa.string())]
+    fields += [(c, pa.string()) for c in list(LONGEST_FIELDS) + list(RECENT_FIELDS)]
+    fields += [
+        ("source_record_ids", pa.list_(pa.string())),
+        ("source_record_count", pa.int64()),
+        ("source_systems", pa.list_(pa.string())),
+    ]
+    fields += [(c, pa.int64()) for c in FLAG_FIELDS]
+    return pa.table({n: pa.array([], t) for n, t in fields})
+
+
+def build_golden(features_ds, labels_ds, num_partitions: int = 16):
+    """features ⋈ labels → groupby(cluster).aggregate → golden records."""
+    import ray.data
+
+    if features_ds.schema() is None:  # empty input
+        return ray.data.from_arrow(empty_golden_table())
+    # project to scalar columns: Arrow hash join rejects list-typed payloads
+    cols = [c for c in SURVIVE_INPUT_COLUMNS if c in features_ds.schema().names]
+    features_ds = features_ds.select_columns(cols)
+    joined = features_ds.join(
+        labels_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("node",),
+    )
+    ranked = joined.map_batches(_rank_columns, batch_format="pyarrow")
+    aggs = [Count()]
+    for out in list(LONGEST_FIELDS) + list(RECENT_FIELDS):
+        aggs.append(Max("_rk_" + out))
+    for out in FLAG_FIELDS:
+        aggs.append(Max("_fl_" + out))
+    aggs.append(Unique("doc_id"))
+    aggs.append(Unique("source_system"))
+    agged = ranked.groupby("label").aggregate(*aggs)
+    return agged.map_batches(_finalize, batch_format="pyarrow")
