@@ -50,14 +50,103 @@ def run_er(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = 
     }
 
 
+def run_er_checkpointed(docs_ds, ckpt_root: str | None,
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        with_embeddings: bool = True) -> dict:
+    """Resume-aware pipeline: each stage lands as a checkpoint table with a
+    lineage sidecar; a rerun skips stages whose checkpoint is complete and
+    config-compatible (the reference's CREATE OR REPLACE TABLE chain,
+    re-expressed — SURVEY.md §3.1)."""
+    from . import storage
+
+    ch = storage.config_hash(
+        {"weights": cfg.weights, "lsh": [cfg.lsh_num_perm, cfg.lsh_bands, cfg.lsh_shingle_k],
+         "cap": cfg.max_block_size, "jw": cfg.use_jaro_winkler, "dim": cfg.embedding_dim}
+    )
+    resumed = {}
+
+    feats, resumed["features"] = storage.stage_or_compute(
+        ckpt_root, "features", ch,
+        lambda: build_features(docs_ds, cfg, with_embeddings).materialize(),
+    )
+    scored, resumed["scored"] = storage.stage_or_compute(
+        ckpt_root, "scored", ch,
+        lambda: score_pairs(build_pairs(build_blocked(feats, cfg)), cfg).materialize(),
+        input_stage="features",
+        metrics_fn=lambda ds: {"pairs_retained": ds.count()},
+    )
+    labels, resumed["labels"] = storage.stage_or_compute(
+        ckpt_root, "labels", ch,
+        lambda: connected_components(build_edges(scored), init_labels(feats), cfg),
+        input_stage="scored",
+    )
+    golden, resumed["golden"] = storage.stage_or_compute(
+        ckpt_root, "golden", ch,
+        lambda: build_golden(feats, labels, num_partitions=cfg.cc_num_partitions),
+        input_stage="labels",
+        metrics_fn=lambda ds: {"clusters": ds.count()},
+    )
+    return {
+        "features": feats,
+        "scored": scored,
+        "labels": labels,
+        "golden": golden,
+        "resumed": resumed,
+    }
+
+
 def resolve_docs(docs_ds, labels_ds, num_partitions: int = 16):
-    """Input docs + cluster assignment, spans untouched (span invariant)."""
-    return docs_ds.join(
-        labels_ds,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("doc_id",),
-        right_on=("node",),
+    """Input docs + cluster assignment, spans untouched (span invariant).
+
+    Implemented as a sort-cogroup merge (not Dataset.join) because Arrow hash
+    joins reject list-typed payload columns like ``spans``; Ray's sort
+    range-partitions by value, so all rows of one doc_id co-locate in a block.
+    """
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "spans": b["spans"],
+                "entity_id": pa.nulls(b.num_rows, pa.string()),
+                "is_doc": pa.array([1] * b.num_rows, pa.int8()),
+            }
+        )
+
+    sch = docs_ds.schema()
+    span_type = sch.types[sch.names.index("spans")]
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["node"],
+                "spans": pa.nulls(b.num_rows, span_type),
+                "entity_id": b["label"],
+                "is_doc": pa.array([0] * b.num_rows, pa.int8()),
+            }
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        is_doc = b["is_doc"].to_numpy(zero_copy_only=False).astype(bool)
+        ids = b["doc_id"].to_pylist()
+        ents = b["entity_id"].to_pylist()
+        label_by_id = {i: e for i, e, d in zip(ids, ents, is_doc) if not d}
+        doc_idx = np.nonzero(is_doc)[0]
+        docs = b.take(pa.array(doc_idx, pa.int64()))
+        ent_col = pa.array(
+            [label_by_id.get(i) for i in docs["doc_id"].to_pylist()], pa.string()
+        )
+        return pa.table(
+            {"doc_id": docs["doc_id"], "spans": docs["spans"], "entity_id": ent_col}
+        )
+
+    union = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        labels_ds.map_batches(tag_labels, batch_format="pyarrow")
+    )
+    return union.sort("doc_id").map_batches(
+        merge, batch_size=None, batch_format="pyarrow"
     )
 
 

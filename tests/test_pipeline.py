@@ -1,0 +1,182 @@
+"""End-to-end pipeline tests: F1 gate, span invariant, salting equivalence,
+CC-vs-oracle, determinism, checkpoint resume (FIXTURES.md §6 invariants)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from mdm_ray import pipeline, synth
+from mdm_ray.blocking import build_blocked
+from mdm_ray.config import EngineConfig
+from mdm_ray.pairs import build_pairs
+from mdm_ray.survivorship import deterministic_master_id
+
+
+@pytest.fixture(scope="module")
+def t1(ray_session):
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    docs = synth.generate_documents_ray(120, parallelism=4)
+    out = pipeline.run_er(docs)
+    out["golden"] = out["golden"].materialize()
+    return out
+
+
+def test_t1_pairwise_f1(t1):
+    m = pipeline.pairwise_f1(t1["golden"], synth.true_positive_pairs(120))
+    assert m["f1"] >= 0.99, m
+    assert m["precision"] == 1.0
+
+
+def test_t1_cluster_shape(t1):
+    docs = synth.generate_documents_local(120).num_rows
+    clusters = t1["golden"].count()
+    # dedup: clusters strictly fewer than docs, at least one per customer seen
+    assert clusters < docs
+    total_members = sum(
+        r["source_record_count"] for r in t1["golden"].iter_rows()
+    )
+    assert total_members == docs
+
+
+def test_span_invariant(t1, ray_session):
+    import ray.data
+
+    docs_tbl = synth.generate_documents_local(120)
+    resolved = pipeline.resolve_docs(
+        ray.data.from_arrow(docs_tbl), t1["labels"], num_partitions=4
+    )
+    got = {r["doc_id"]: r["spans"] for r in resolved.iter_rows()}
+    assert len(got) == docs_tbl.num_rows
+    for doc_id, spans in zip(
+        docs_tbl["doc_id"].to_pylist(), docs_tbl["spans"].to_pylist()
+    ):
+        out_spans = got[doc_id]
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out_spans
+        ] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+        ], f"span sequence mutated for {doc_id}"
+
+
+def test_blocking_recall(t1, ray_session):
+    # >=99.9% of labeled positives must be co-blocked (FIXTURES.md §6.3)
+    from mdm_ray.pipeline import build_features
+
+    docs = synth.generate_documents_ray(120, parallelism=4)
+    feats = build_features(docs, EngineConfig()).materialize()
+    pairs = build_pairs(build_blocked(feats, EngineConfig()))
+    got = {
+        (r["1_doc_id"], r["2_doc_id"])
+        for r in pairs.select_columns(["1_doc_id", "2_doc_id"]).iter_rows()
+    }
+    truth = synth.true_positive_pairs(120)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.999, f"blocking recall {recall}"
+
+
+def test_salting_pair_multiset_equality(ray_session):
+    """Salted blocking must produce exactly the unsalted pair multiset."""
+    from mdm_ray.pipeline import build_features
+
+    docs = synth.generate_documents_ray(60, parallelism=2)
+    feats = build_features(docs, EngineConfig(), with_embeddings=False).materialize()
+    cfg_salt = EngineConfig(max_block_size=5)  # force heavy salting
+    cfg_none = EngineConfig(max_block_size=10**9)
+    ids = lambda ds: sorted(
+        (r["1_doc_id"], r["2_doc_id"])
+        for r in ds.select_columns(["1_doc_id", "2_doc_id"]).iter_rows()
+    )
+    salted = ids(build_pairs(build_blocked(feats, cfg_salt)))
+    plain = ids(build_pairs(build_blocked(feats, cfg_none, skip_salting=True)))
+    assert salted == plain
+    assert len(salted) == len(set(salted)), "duplicate pairs emitted"
+
+
+def test_cc_matches_union_find_oracle(t1, ray_session):
+    edges = [
+        (r["doc1_id"], r["doc2_id"])
+        for r in t1["scored"].iter_rows()
+        if r["match_decision"] in ("auto_merge", "human_review")
+        and r["combined_score"] >= 0.6
+    ]
+    # local union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_docs = synth.generate_documents_local(120)["doc_id"].to_pylist()
+    for d in all_docs:
+        find(d)
+    for a, b in edges:
+        union(a, b)
+    oracle = {d: find(d) for d in all_docs}
+    got = {r["node"]: r["label"] for r in t1["labels"].iter_rows()}
+    assert got == oracle
+
+
+def test_determinism_across_runs_and_parallelism(ray_session):
+    def run(par):
+        docs = synth.generate_documents_ray(80, parallelism=par)
+        out = pipeline.run_er(docs)
+        rows = sorted(
+            (r["cluster_id"], r["master_id"], tuple(r["source_record_ids"]),
+             r["master_name"], r["master_email"])
+            for r in out["golden"].iter_rows()
+        )
+        return rows
+
+    assert run(2) == run(5)
+
+
+def test_checkpoint_resume_byte_identical(ray_session, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "ckpt")
+    docs = synth.generate_documents_ray(60, parallelism=2)
+    out1 = pipeline.run_er_checkpointed(docs, root)
+    g1 = sorted(
+        (r["cluster_id"], r["master_id"], tuple(r["source_record_ids"]))
+        for r in out1["golden"].iter_rows()
+    )
+    assert not any(out1["resumed"].values())
+    # kill-after-stage-k: drop the golden checkpoint, rerun — earlier stages reuse
+    shutil.rmtree(os.path.join(root, "golden"))
+    out2 = pipeline.run_er_checkpointed(docs, root)
+    assert out2["resumed"]["features"] and out2["resumed"]["scored"] and out2["resumed"]["labels"]
+    assert not out2["resumed"]["golden"]
+    g2 = sorted(
+        (r["cluster_id"], r["master_id"], tuple(r["source_record_ids"]))
+        for r in out2["golden"].iter_rows()
+    )
+    assert g1 == g2
+    # config change invalidates checkpoints
+    out3 = pipeline.run_er_checkpointed(docs, root, EngineConfig(max_block_size=123))
+    assert not out3["resumed"]["features"]
+
+
+def test_master_id_formula(t1):
+    import hashlib
+
+    for r in t1["golden"].take(50):
+        if r["master_email"]:
+            exp = hashlib.sha256(f"email:{r['master_email']}".encode()).hexdigest()[:36]
+        elif r["master_phone"]:
+            exp = hashlib.sha256(f"phone:{r['master_phone']}".encode()).hexdigest()[:36]
+        else:
+            exp = r["cluster_id"]
+        assert r["master_id"] == exp
+    assert deterministic_master_id("a@b.c", None, "x") == deterministic_master_id("a@b.c", "999", "y")
