@@ -1,0 +1,1007 @@
+"""Operator catalog over the driver testdata tables, with DuckDB oracles.
+
+Every operator family from SURVEY.md §2 (plus the training-data extensions)
+is exposed as a named query ``fn(sf_dir) -> Dataset/Table`` with, where
+SQL-expressible, an exactly-equivalent DuckDB oracle — same column names,
+floats rounded to 6 decimals on both sides. The ER-fixture pipelines (which
+run on the synthesized interleaved corpus, invisible to the oracle's
+pre-registered views) are rows-only checks.
+
+Blocking keys used here mirror the ER engine's (exact-key groupbys), applied
+to the TPC-H-ish tables: customers block on (mktsegment, nationkey), parts on
+brand, embeddings on label — the same groupby→within-block-pair pattern that
+replaces the reference's CROSS JOINs (bigquery_utils.py:330-332).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dsutil import grouped_kernel
+from .simfuncs import edit_similarity_batch, jaro_winkler_batch, token_overlap_batch
+
+ROUND = 6
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _round(x: np.ndarray) -> np.ndarray:
+    return np.round(x, ROUND)
+
+
+# ---------------------------------------------------------------------------
+# M2/M4: standardization + ingest filter (documents)
+# ---------------------------------------------------------------------------
+
+def q_standardize(sf_dir: str):
+    from .textnorm import clean_city, clean_email, clean_name
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_clean": clean_name(b["text"]),
+                "source_clean": clean_email(b["source"]),
+                "lang_clean": clean_city(b["lang"]),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+SQL_STANDARDIZE = """
+SELECT doc_id,
+       trim(upper(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g'))) AS text_clean,
+       lower(trim(source)) AS source_clean,
+       trim(upper(lang)) AS lang_clean
+FROM documents
+"""
+
+
+def q_ingest_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater(b["n_chars"], 100)).select(["doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_INGEST_FILTER = "SELECT doc_id, n_chars FROM documents WHERE n_chars > 100"
+
+
+# ---------------------------------------------------------------------------
+# M1/D1: union + projection to a common schema
+# ---------------------------------------------------------------------------
+
+def q_union_project(sf_dir: str):
+    cust = _read(sf_dir, "customer").map_batches(
+        lambda b: pa.table(
+            {
+                "entity_key": b["c_custkey"],
+                "entity_name": b["c_name"],
+                "acctbal": b["c_acctbal"],
+                "source_table": pa.array(["customer"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier").map_batches(
+        lambda b: pa.table(
+            {
+                "entity_key": b["s_suppkey"],
+                "entity_name": b["s_name"],
+                "acctbal": b["s_acctbal"],
+                "source_table": pa.array(["supplier"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp)
+
+
+SQL_UNION_PROJECT = """
+SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS acctbal,
+       'customer' AS source_table FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: exact-key blocked pair generation (customer)
+# ---------------------------------------------------------------------------
+
+def _pair_kernel(score_fn, out_schema_fn):
+    def kernel(batch: pa.Table, starts, stops) -> pa.Table:
+        ii_all, jj_all = [], []
+        for s, e in zip(starts, stops):
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            ii_all.append(ii + s)
+            jj_all.append(jj + s)
+        if not ii_all:
+            return out_schema_fn(batch, None, None)
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        return score_fn(batch, ii, jj)
+
+    return kernel
+
+
+def _add_block_key(ds, cols: list[str], name: str = "_bk"):
+    def fn(b: pa.Table) -> pa.Table:
+        key = None
+        for c in cols:
+            part = pc.cast(b[c], pa.string())
+            key = part if key is None else pc.binary_join_element_wise(key, part, "|")
+        return b.append_column(name, key)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_exact_pairs(sf_dir: str):
+    ds = _add_block_key(
+        _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_mktsegment", "c_nationkey"]
+        ),
+        ["c_mktsegment", "c_nationkey"],
+    )
+
+    def score(batch, ii, jj):
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        a = np.minimum(keys[ii], keys[jj])
+        b_ = np.maximum(keys[ii], keys[jj])
+        seg = batch["c_mktsegment"].take(pa.array(ii, pa.int64()))
+        nat = batch["c_nationkey"].take(pa.array(ii, pa.int64()))
+        return pa.table(
+            {
+                "custkey1": pa.array(a, pa.int64()),
+                "custkey2": pa.array(b_, pa.int64()),
+                "c_mktsegment": seg,
+                "c_nationkey": nat,
+            }
+        )
+
+    def empty(batch, *_):
+        return pa.table(
+            {
+                "custkey1": pa.array([], pa.int64()),
+                "custkey2": pa.array([], pa.int64()),
+                "c_mktsegment": batch["c_mktsegment"].slice(0, 0),
+                "c_nationkey": batch["c_nationkey"].slice(0, 0),
+            }
+        )
+
+    return grouped_kernel(ds, "_bk", _pair_kernel(score, empty))
+
+
+SQL_EXACT_PAIRS = """
+SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2,
+       a.c_mktsegment, a.c_nationkey
+FROM customer a JOIN customer b
+  ON a.c_mktsegment = b.c_mktsegment AND a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2/F1/F3: fuzzy scoring within brand blocks (part)
+# ---------------------------------------------------------------------------
+
+def _part_pairs(sf_dir: str):
+    return _read(sf_dir, "part").select_columns(["p_partkey", "p_name", "p_brand"])
+
+
+def q_fuzzy_pairs(sf_dir: str):
+    def score(batch, ii, jj):
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        names = batch["p_name"].to_pylist()
+        swap = keys[ii] > keys[jj]
+        a = np.where(swap, jj, ii)
+        b_ = np.where(swap, ii, jj)
+        na = [names[i] for i in a]
+        nb = [names[i] for i in b_]
+        edit = _round(edit_similarity_batch(na, nb))
+        tok = _round(token_overlap_batch(na, nb))
+        keep = edit > 0.5
+        return pa.table(
+            {
+                "partkey1": pa.array(keys[a], pa.int64()),
+                "partkey2": pa.array(keys[b_], pa.int64()),
+                "p_brand": batch["p_brand"].take(pa.array(a, pa.int64())),
+                "name_edit_sim": pa.array(edit, pa.float64()),
+                "name_token_score": pa.array(tok, pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    def empty(batch, *_):
+        return pa.table(
+            {
+                "partkey1": pa.array([], pa.int64()),
+                "partkey2": pa.array([], pa.int64()),
+                "p_brand": batch["p_brand"].slice(0, 0),
+                "name_edit_sim": pa.array([], pa.float64()),
+                "name_token_score": pa.array([], pa.float64()),
+            }
+        )
+
+    return grouped_kernel(_part_pairs(sf_dir), "p_brand", _pair_kernel(score, empty))
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.p_partkey AS partkey1, b.p_partkey AS partkey2, a.p_brand,
+       round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE /
+             greatest(length(a.p_name), length(b.p_name)), 6) AS name_edit_sim,
+       round(len(list_filter(string_split(a.p_name, ' '),
+                             x -> list_contains(string_split(b.p_name, ' '), x)))::DOUBLE /
+             greatest(len(string_split(a.p_name, ' ')),
+                      len(string_split(b.p_name, ' '))), 6) AS name_token_score
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE /
+      greatest(length(a.p_name), length(b.p_name)), 6) > 0.5
+"""
+
+
+def q_jaro_pairs(sf_dir: str):
+    def score(batch, ii, jj):
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        names = batch["p_name"].to_pylist()
+        swap = keys[ii] > keys[jj]
+        a = np.where(swap, jj, ii)
+        b_ = np.where(swap, ii, jj)
+        jw = _round(
+            jaro_winkler_batch([names[i] for i in a], [names[i] for i in b_])
+        )
+        keep = jw > 0.8
+        return pa.table(
+            {
+                "partkey1": pa.array(keys[a], pa.int64()),
+                "partkey2": pa.array(keys[b_], pa.int64()),
+                "jw_sim": pa.array(jw, pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    def empty(batch, *_):
+        return pa.table(
+            {
+                "partkey1": pa.array([], pa.int64()),
+                "partkey2": pa.array([], pa.int64()),
+                "jw_sim": pa.array([], pa.float64()),
+            }
+        )
+
+    return grouped_kernel(_part_pairs(sf_dir), "p_brand", _pair_kernel(score, empty))
+
+
+SQL_JARO_PAIRS = """
+SELECT a.p_partkey AS partkey1, b.p_partkey AS partkey2,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) > 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3/F4: vector similarity within label blocks (embeddings)
+# ---------------------------------------------------------------------------
+
+VECTOR_PAIRS_THRESHOLD = 0.38  # driver embeddings: max within-label cos ~0.45
+
+
+def q_vector_pairs(sf_dir: str):
+    from .dedup import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings")
+    pairs = embedding_dedup(ds, "label", id_col="vec_id", vec_col="embedding",
+                            threshold=VECTOR_PAIRS_THRESHOLD)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id1": b["id1"],
+                "vec_id2": b["id2"],
+                "cosine_sim": pa.array(
+                    _round(b["similarity"].to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_VECTOR_PAIRS = f"""
+SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {VECTOR_PAIRS_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6/A1/A2: business rules + weighted ensemble + decisions (customer)
+# ---------------------------------------------------------------------------
+
+def q_combined_scores(sf_dir: str):
+    ds = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.append_column("_bk", pc.cast(b["c_nationkey"], pa.string())),
+        batch_format="pyarrow",
+    )
+
+    def score(batch, ii, jj):
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        names = batch["c_name"].to_pylist()
+        segs = batch["c_mktsegment"].to_pylist()
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        swap = keys[ii] > keys[jj]
+        a = np.where(swap, jj, ii)
+        b_ = np.where(swap, ii, jj)
+        na = [names[i] for i in a]
+        nb = [names[i] for i in b_]
+        exact = np.array([x == y for x, y in zip(na, nb)], dtype=np.float64)
+        fuzzy = _round(edit_similarity_batch(na, nb))
+        seg_score = np.where(
+            np.array([segs[x] == segs[y] for x, y in zip(a, b_)]), 0.3, 0.0
+        )
+        ba, bb = bal[a], bal[b_]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(
+                (ba > 0) & (bb > 0), np.minimum(ba, bb) / np.maximum(ba, bb), 0.0
+            )
+        bal_score = np.where(ratio >= 0.8, 0.1, 0.0)
+        business = _round(seg_score + bal_score)
+        combined = _round(0.33 * exact + 0.28 * fuzzy + 0.17 * business)
+        decision = np.where(
+            combined >= 0.8, "auto_merge",
+            np.where(combined >= 0.6, "human_review", "no_match"),
+        )
+        keep = combined > 0.2
+        return pa.table(
+            {
+                "custkey1": pa.array(keys[a], pa.int64()),
+                "custkey2": pa.array(keys[b_], pa.int64()),
+                "exact_score": pa.array(exact, pa.float64()),
+                "fuzzy_score": pa.array(fuzzy, pa.float64()),
+                "business_score": pa.array(business, pa.float64()),
+                "combined_score": pa.array(combined, pa.float64()),
+                "match_decision": pa.array(decision.tolist(), pa.string()),
+            }
+        ).filter(pa.array(keep))
+
+    def empty(batch, *_):
+        return pa.table(
+            {
+                "custkey1": pa.array([], pa.int64()),
+                "custkey2": pa.array([], pa.int64()),
+                "exact_score": pa.array([], pa.float64()),
+                "fuzzy_score": pa.array([], pa.float64()),
+                "business_score": pa.array([], pa.float64()),
+                "combined_score": pa.array([], pa.float64()),
+                "match_decision": pa.array([], pa.string()),
+            }
+        )
+
+    return grouped_kernel(ds, "_bk", _pair_kernel(score, empty))
+
+
+SQL_COMBINED_SCORES = """
+WITH pairs AS (
+  SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2,
+         CASE WHEN a.c_name = b.c_name THEN 1.0 ELSE 0.0 END AS exact_score,
+         round(1.0 - levenshtein(a.c_name, b.c_name)::DOUBLE /
+               greatest(length(a.c_name), length(b.c_name)), 6) AS fuzzy_score,
+         round(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 0.3 ELSE 0.0 END +
+               CASE WHEN a.c_acctbal > 0 AND b.c_acctbal > 0
+                     AND least(a.c_acctbal, b.c_acctbal) /
+                         greatest(a.c_acctbal, b.c_acctbal) >= 0.8
+                    THEN 0.1 ELSE 0.0 END, 6) AS business_score
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT custkey1, custkey2, exact_score, fuzzy_score, business_score,
+       round(0.33*exact_score + 0.28*fuzzy_score + 0.17*business_score, 6)
+         AS combined_score,
+       CASE WHEN round(0.33*exact_score + 0.28*fuzzy_score + 0.17*business_score, 6) >= 0.8
+              THEN 'auto_merge'
+            WHEN round(0.33*exact_score + 0.28*fuzzy_score + 0.17*business_score, 6) >= 0.6
+              THEN 'human_review'
+            ELSE 'no_match' END AS match_decision
+FROM pairs
+WHERE round(0.33*exact_score + 0.28*fuzzy_score + 0.17*business_score, 6) > 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: connected components (part fuzzy edges) — oracle via recursive CTE
+# ---------------------------------------------------------------------------
+
+CC_EDGE_THRESHOLD = 0.72
+
+
+def q_cluster_cc(sf_dir: str):
+    from .cluster import connected_components, init_labels
+    from .config import EngineConfig
+
+    pairs = q_fuzzy_pairs(sf_dir)
+
+    def pad(arr) -> pa.Array:
+        # zero-pad so lexicographic min-label == numeric min (CC labels are strings)
+        return pc.utf8_lpad(pc.cast(arr, pa.string()), width=12, padding="0")
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.greater_equal(b["name_edit_sim"], CC_EDGE_THRESHOLD))
+        s1 = pad(kept["partkey1"]).combine_chunks()
+        s2 = pad(kept["partkey2"]).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s1, s2]),
+                "dst": pa.concat_arrays([s2, s1]),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    nodes = _read(sf_dir, "part").select_columns(["p_partkey"]).map_batches(
+        lambda b: pa.table({"doc_id": pad(b["p_partkey"])}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges, init_labels(nodes), EngineConfig(cc_num_partitions=8))
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": pc.cast(b["node"], pa.int64()),
+                "cluster_id": pc.cast(b["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CLUSTER_CC = f"""
+WITH RECURSIVE edges AS (
+  SELECT a.p_partkey AS src, b.p_partkey AS dst
+  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE /
+        greatest(length(a.p_name), length(b.p_name)), 6) >= {CC_EDGE_THRESHOLD}
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach(src, dst) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+)
+SELECT src AS p_partkey, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5/A6/F7: survivorship + deterministic entity ids (customer pseudo-clusters)
+# ---------------------------------------------------------------------------
+
+def q_survivorship(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _add_block_key(
+        _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
+        ),
+        ["c_mktsegment", "c_nationkey"],
+        name="cluster_key",
+    )
+
+    def rank(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        comp = [f"{len(x):04d}|{x}" for x in names]
+        return b.append_column("_name_rank", pa.array(comp, pa.string()))
+
+    agged = ds.map_batches(rank, batch_format="pyarrow").groupby("cluster_key").aggregate(
+        Count(), Max("_name_rank"), Max("c_acctbal"), Min("c_custkey")
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        names = [x.split("|", 1)[1] for x in b["max(_name_rank)"].to_pylist()]
+        return pa.table(
+            {
+                "cluster_key": b["cluster_key"],
+                "master_name": pa.array(names, pa.string()),
+                "master_acctbal": pa.array(
+                    _round(b["max(c_acctbal)"].to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+                "member_count": b["count()"],
+                "min_custkey": b["min(c_custkey)"],
+            }
+        )
+
+    return agged.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SURVIVORSHIP = """
+SELECT c_mktsegment || '|' || c_nationkey AS cluster_key,
+       split_part(max(lpad(length(c_name)::VARCHAR, 4, '0') || '|' || c_name), '|', 2)
+         AS master_name,
+       round(max(c_acctbal), 6) AS master_acctbal,
+       count(*) AS member_count,
+       min(c_custkey) AS min_custkey
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+"""
+
+
+def q_entity_ids(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        ids = [
+            hashlib.sha256(f"email:{n.lower()}".encode()).hexdigest()[:36]
+            for n in names
+        ]
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "master_id": pa.array(ids, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "customer").map_batches(fn, batch_format="pyarrow")
+
+
+SQL_ENTITY_IDS = """
+SELECT c_custkey, substr(sha256('email:' || lower(c_name)), 1, 36) AS master_id
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# O2: deterministic top-k ordering
+# ---------------------------------------------------------------------------
+
+TOPK_N = 200
+
+
+def q_top_matches(sf_dir: str):
+    pairs = q_jaro_pairs(sf_dir)
+    return pairs.sort(
+        ["jw_sim", "partkey1", "partkey2"], descending=[True, False, False]
+    ).limit(TOPK_N)
+
+
+SQL_TOP_MATCHES = f"""
+SELECT * FROM ({SQL_JARO_PAIRS})
+ORDER BY jw_sim DESC, partkey1, partkey2 LIMIT {TOPK_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# O5 / ANN: top-k cosine neighbors
+# ---------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_NUM_QUERIES = 10
+
+
+def _ann_queries(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(t["vec_id"], ANN_NUM_QUERIES)
+    return t.filter(mask)
+
+
+def q_ann_topk(sf_dir: str):
+    from .similarity import ann_bruteforce
+
+    ds = _read(sf_dir, "embeddings")
+    out = ann_bruteforce(ds, _ann_queries(sf_dir), k=ANN_K)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b["query_id"],
+                "neighbor_id": b["neighbor_id"],
+                "cosine_sim": pa.array(
+                    _round(b["similarity"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+                "rank": b["rank"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_TOPK = f"""
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank FROM (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, d.embedding) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, d.embedding) DESC, d.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id
+  WHERE q.vec_id < {ANN_NUM_QUERIES}
+)
+WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    from .dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, text, count(*) AS group_size
+FROM documents GROUP BY text
+"""
+
+JACCARD_THRESHOLD = 0.9
+
+
+def q_dedup_jaccard(sf_dir: str):
+    from .dedup import jaccard_block_dedup
+
+    ds = _add_block_key(_read(sf_dir, "documents"), ["lang", "source"], name="_blk")
+    pairs = jaccard_block_dedup(ds, "_blk", "doc_id", "text",
+                                threshold=JACCARD_THRESHOLD, ngram=1)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id1": b["id1"],
+                "doc_id2": b["id2"],
+                "jaccard_sim": pa.array(
+                    _round(b["similarity"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(jaccard(a.text, b.text), 6) AS jaccard_sim
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= {JACCARD_THRESHOLD}
+"""
+
+EMB_DEDUP_THRESHOLD = 0.3  # near-dup tier below the vector-match threshold
+
+
+def q_dedup_embedding(sf_dir: str):
+    from .dedup import embedding_dedup
+
+    pairs = embedding_dedup(
+        _read(sf_dir, "embeddings"), "label", threshold=EMB_DEDUP_THRESHOLD
+    )
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id1": b["id1"],
+                "vec_id2": b["id2"],
+                "cosine_sim": pa.array(
+                    _round(b["similarity"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    from .dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _read(sf_dir, "documents"), "doc_id", "text", threshold=0.35,
+        shingle_k=5, num_perm=64, bands=16,
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    from .dedup import simhash_dedup
+
+    return simhash_dedup(_read(sf_dir, "documents"), "doc_id", "text", max_hamming=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    from .textstats import token_count_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "n_tokens", "n_chars"])
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    from .textstats import quality_score_batch
+
+    out = _read(sf_dir, "documents").map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "mean_word_len": pa.array(
+                    _round(b["mean_word_len"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+                "stopword_ratio": pa.array(
+                    _round(b["stopword_ratio"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+                "digit_ratio": pa.array(
+                    _round(b["digit_ratio"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+_SW = "'" + "','".join(sorted(
+    {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
+     "with", "as", "at", "by", "this", "that", "be", "are", "was", "from"}
+)) + "'"
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       round(length(replace(text, ' ', ''))::DOUBLE /
+             len(string_split(text, ' ')), 6) AS mean_word_len,
+       round(len(list_filter(string_split(lower(text), ' '),
+                             x -> x IN ({_SW})))::DOUBLE /
+             len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE /
+             length(text), 6) AS digit_ratio
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    from .textstats import lang_id_batch
+
+    return _read(sf_dir, "documents").map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from .textstats import fingerprint_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint_min"])
+
+
+# ---------------------------------------------------------------------------
+# A8: analytics aggregate (lineitem) + deterministic sample
+# ---------------------------------------------------------------------------
+
+def q_analytics_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    agged = _add_block_key(ds, ["l_returnflag", "l_linestatus"], name="grp").groupby(
+        "grp"
+    ).aggregate(Count(), Sum("l_quantity"), Mean("l_extendedprice"), Max("l_discount"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grp": b["grp"],
+                "row_count": b["count()"],
+                "sum_qty": pa.array(
+                    _round(b["sum(l_quantity)"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+                "avg_price": pa.array(
+                    _round(b["mean(l_extendedprice)"].to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+                "max_discount": pa.array(
+                    _round(b["max(l_discount)"].to_numpy(zero_copy_only=False)), pa.float64()
+                ),
+            }
+        )
+
+    return agged.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ANALYTICS_AGG = """
+SELECT l_returnflag || '|' || l_linestatus AS grp,
+       count(*) AS row_count,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(max(l_discount), 6) AS max_discount
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sample_agg(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents").map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 7), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("lang").count().map_batches(
+        lambda b: pa.table({"lang": b["lang"], "sampled_docs": b["count()"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SAMPLE_AGG = """
+SELECT lang, count(*) AS sampled_docs FROM documents
+WHERE doc_id % 8 = 0 GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# ER-fixture pipelines (rows-only checks: input corpus is synthesized)
+# ---------------------------------------------------------------------------
+
+ER_CUSTOMERS = {"0.001": 120, "0.01": 400, "0.1": 2000}
+
+
+def _er_scale(sf_dir: str) -> int:
+    for key, n in ER_CUSTOMERS.items():
+        if f"sf{key}" in sf_dir:
+            return n
+    return 120
+
+
+def q_er_golden(sf_dir: str):
+    from . import pipeline, synth
+
+    docs = synth.generate_documents_ray(_er_scale(sf_dir), parallelism=8)
+    out = pipeline.run_er(docs)
+    golden = out["golden"]
+    return golden.map_batches(
+        lambda b: b.select(
+            ["cluster_id", "master_id", "master_name", "master_email",
+             "master_phone", "source_record_count"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_er_resolved(sf_dir: str):
+    from . import pipeline, synth
+
+    n = _er_scale(sf_dir)
+    docs = synth.generate_documents_ray(n, parallelism=8)
+    out = pipeline.run_er(docs)
+    resolved = pipeline.resolve_docs(
+        synth.generate_documents_ray(n, parallelism=8), out["labels"]
+    )
+    return resolved.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "entity_id": b["entity_id"],
+                "n_spans": pc.list_value_length(b["spans"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_features(sf_dir: str):
+    from . import synth
+    from .media import decode_pipeline, media_table_from_refs
+    import ray.data
+
+    docs = synth.generate_documents_local(min(_er_scale(sf_dir), 400))
+    refs = sorted(
+        {
+            s["media_ref"]
+            for spans in docs["spans"].to_pylist()
+            for s in spans
+            if s["media_ref"]
+        }
+    )
+    media = ray.data.from_arrow(media_table_from_refs(refs))
+    out = decode_pipeline(media, mode="fake")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "media_ref": b["media_ref"],
+                "feature_dim": pc.list_value_length(b["media_embedding"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "standardize": q_standardize,
+    "ingest_filter": q_ingest_filter,
+    "union_project": q_union_project,
+    "exact_pairs": q_exact_pairs,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "jaro_pairs": q_jaro_pairs,
+    "vector_pairs": q_vector_pairs,
+    "combined_scores": q_combined_scores,
+    "cluster_cc": q_cluster_cc,
+    "survivorship": q_survivorship,
+    "entity_ids": q_entity_ids,
+    "top_matches": q_top_matches,
+    "ann_topk": q_ann_topk,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "token_count": q_token_count,
+    "quality_scores": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "analytics_agg": q_analytics_agg,
+    "sample_agg": q_sample_agg,
+    "er_golden": q_er_golden,
+    "er_resolved": q_er_resolved,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "standardize": SQL_STANDARDIZE,
+    "ingest_filter": SQL_INGEST_FILTER,
+    "union_project": SQL_UNION_PROJECT,
+    "exact_pairs": SQL_EXACT_PAIRS,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "jaro_pairs": SQL_JARO_PAIRS,
+    "vector_pairs": SQL_VECTOR_PAIRS,
+    "combined_scores": SQL_COMBINED_SCORES,
+    "cluster_cc": SQL_CLUSTER_CC,
+    "survivorship": SQL_SURVIVORSHIP,
+    "entity_ids": SQL_ENTITY_IDS,
+    "top_matches": SQL_TOP_MATCHES,
+    "ann_topk": SQL_ANN_TOPK,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_scores": SQL_QUALITY,
+    "analytics_agg": SQL_ANALYTICS_AGG,
+    "sample_agg": SQL_SAMPLE_AGG,
+    # dedup_minhash / dedup_simhash / lang_id / fingerprint / er_* /
+    # media_features: not ANSI-SQL-expressible → rows-only checks
+}

@@ -1,0 +1,224 @@
+"""Tests for the training-data operators: dedup family, ANN search,
+text analysis, media plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mdm_ray import media, textstats
+from mdm_ray.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    jaccard_block_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from mdm_ray.similarity import ann_bruteforce, ann_ivf
+
+
+@pytest.fixture(scope="module")
+def text_ds(ray_session):
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about database query engines and joins",
+        "neural networks learn hierarchical representations from large datasets",
+        "weather patterns in coastal regions are influenced by ocean currents",
+    ]
+    texts, langs = [], []
+    for i, t in enumerate(base):
+        texts += [t, t, t + " tail"]  # exact dup + near dup
+        langs += ["en"] * 3
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup(text_ds):
+    out = exact_dedup(text_ds).take_all()
+    # each base text has one exact-dup pair: 12 rows -> 8 survivors
+    assert len(out) == 8
+    dup_groups = [r for r in out if r["group_size"] == 2]
+    assert len(dup_groups) == 4
+    for r in dup_groups:
+        assert r["doc_id"] % 3 == 0  # min id of the planted pair
+
+
+def test_minhash_lsh_dedup(text_ds):
+    pairs = minhash_lsh_dedup(text_ds, threshold=0.5, shingle_k=3,
+                              num_perm=64, bands=16).take_all()
+    found = {(r["id1"], r["id2"]) for r in pairs}
+    # the exact dups must collide in every band
+    for base in range(4):
+        assert (3 * base, 3 * base + 1) in found
+    # unrelated docs must not pair
+    assert not any(abs(a - b) >= 3 for a, b in found)
+
+
+def test_simhash_dedup(text_ds):
+    pairs = simhash_dedup(text_ds, max_hamming=3).take_all()
+    found = {(r["id1"], r["id2"]) for r in pairs}
+    for base in range(4):
+        assert (3 * base, 3 * base + 1) in found
+
+
+def test_jaccard_block_dedup_matches_bruteforce(text_ds):
+    from mdm_ray.simfuncs import ngram_jaccard
+
+    pairs = jaccard_block_dedup(text_ds, "lang", threshold=0.9, ngram=1).take_all()
+    rows = text_ds.take_all()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    expected = set()
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ngram_jaccard(texts[ids[i]], texts[ids[j]], 1) >= 0.9:
+                expected.add((ids[i], ids[j]))
+    assert {(r["id1"], r["id2"]) for r in pairs} == expected
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    vecs, labels = [], []
+    for i, v in enumerate(base):
+        vecs.append(v)
+        vecs.append(v + rng.normal(scale=0.01, size=16))  # near-dup
+        labels += [i % 3, i % 3]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+    )
+
+
+def test_embedding_dedup(vec_ds):
+    pairs = embedding_dedup(vec_ds, "label", threshold=0.999).take_all()
+    found = {(r["id1"], r["id2"]) for r in pairs}
+    for i in range(20):
+        assert (2 * i, 2 * i + 1) in found
+
+
+def test_ann_bruteforce_exact(vec_ds):
+    rows = vec_ds.take_all()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = pa.table(
+        {
+            "vec_id": pa.array(ids[:3], pa.int64()),
+            "embedding": pa.array([mat[i].tolist() for i in range(3)], pa.list_(pa.float32())),
+        }
+    )
+    out = ann_bruteforce(vec_ds, queries, k=4).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qi in range(3):
+        sims = unit[qi] @ unit.T
+        sims[qi] = -np.inf
+        expected = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))[:4]
+        got = [n for _, n in sorted(by_q[ids[qi]])]
+        assert got == [ids[j] for j in expected]
+
+
+def test_ann_ivf_recall(vec_ds):
+    queries_rows = vec_ds.take(5)
+    queries = pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in queries_rows], pa.int64()),
+            "embedding": pa.array(
+                [r["embedding"] for r in queries_rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    exact = ann_bruteforce(vec_ds, queries, k=5).take_all()
+    approx = ann_ivf(vec_ds, queries, k=5, num_centroids=4, nprobe=2).take_all()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+
+# ---- textstats ---------------------------------------------------------------
+
+def test_token_count():
+    b = pa.table({"doc_id": [1, 2], "text": ["a bb  ccc", ""]})
+    out = textstats.token_count_batch(b)
+    # split(' ') keeps empty tokens: 'a','bb','','ccc'
+    assert out["n_tokens"].to_pylist() == [4, 1]
+    assert out["n_chars"].to_pylist() == [9, 0]
+
+
+def test_quality_score():
+    b = pa.table({"doc_id": [1, 2], "text": ["the cat sat on the mat", "@@@@ 1234 %%%%"]})
+    out = textstats.quality_score_batch(b)
+    good, bad = out["quality_score"].to_pylist()
+    assert good > bad
+    assert out["stopword_ratio"].to_pylist()[0] == pytest.approx(3 / 6)  # the, on, the
+
+
+def test_lang_id():
+    assert textstats.lang_id("the cat and the dog are in the house") == "en"
+    assert textstats.lang_id("der hund und die katze schlafen schnell") == "de"
+    assert textstats.lang_id("") == "und"
+
+
+def test_fingerprint_stability():
+    b = pa.table({"doc_id": [1], "text": ["one two three four five six seven eight nine ten"]})
+    f1 = textstats.fingerprint_batch(b)["fingerprint_min"].to_pylist()
+    f2 = textstats.fingerprint_batch(b)["fingerprint_min"].to_pylist()
+    assert f1 == f2
+
+
+# ---- media -------------------------------------------------------------------
+
+def test_media_decode_fake(ray_session):
+    import ray.data
+
+    refs = [f"m://{i:08x}" for i in range(10)]
+    ds = ray.data.from_arrow(media.media_table_from_refs(refs))
+    out = media.decode_pipeline(ds, mode="fake").take_all()
+    assert len(out) == 10
+    for r in out:
+        assert len(r["pixels"]) == 8 * 8 * 3
+        assert len(r["media_embedding"]) == 3 + 8
+    # deterministic across calls
+    out2 = media.decode_pipeline(
+        ray.data.from_arrow(media.media_table_from_refs(refs)), mode="fake"
+    ).take_all()
+    assert [r["media_embedding"] for r in out] == [r["media_embedding"] for r in out2]
+
+
+def test_media_strict_raises():
+    dec = media.ImageDecoder(mode="strict")
+    with pytest.raises(NotImplementedError):
+        dec.decode_one(b"xx")
+
+
+def test_frame_sampler(ray_session):
+    import ray.data
+
+    refs = ["m://aa", "m://bb"]
+    ds = ray.data.from_arrow(media.media_table_from_refs(refs))
+    out = ds.map_batches(
+        media.FrameSampler, fn_constructor_kwargs={"num_frames": 4},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    assert len(out) == 8
+    assert all(len(r["payload"]) > 0 for r in out)
