@@ -920,6 +920,37 @@ def q_er_resolved(sf_dir: str):
     )
 
 
+def q_er_incremental(sf_dir: str):
+    """Streaming-twin merge (SURVEY §2.9): batch ER on the fixture corpus,
+    then an incremental batch (80% new / 20% drift) merged into the golden
+    table. Rows-only check (synthesized corpus)."""
+    import ray.data
+
+    from . import incremental, pipeline, synth
+
+    n = min(_er_scale(sf_dir), 400)
+    docs = ray.data.from_arrow(synth.generate_documents_local(n))
+    golden = pipeline.run_er(docs, with_embeddings=False)["golden"].materialize()
+    out = incremental.incremental_merge(
+        ray.data.from_arrow(synth.generate_stream_docs(n, max(20, n // 4))),
+        golden,
+    )
+    return out["match_results"].map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "entity_id": b["entity_id"],
+                "action": b["action"],
+                "combined_score": pa.array(
+                    _round(b["combined_score"].to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_features(sf_dir: str):
     from . import synth
     from .media import decode_pipeline, media_table_from_refs
@@ -978,6 +1009,7 @@ QUERIES = {
     "sample_agg": q_sample_agg,
     "er_golden": q_er_golden,
     "er_resolved": q_er_resolved,
+    "er_incremental": q_er_incremental,
     "media_features": q_media_features,
 }
 

@@ -287,6 +287,70 @@ def labels_for_customers(indices, negatives_per_customer: int = 3,
     )
 
 
+def drift_record(idx: int, seq: int) -> dict:
+    """M7 drift-variation twin (``streaming_processor.py:811-878``): take an
+    existing customer's base record and mutate exactly one of email-domain /
+    phone-format / name-nickname / address-abbreviation — the streaming
+    notebook's "existing customer arrives again, slightly changed" fixture.
+    Content-seeded per (customer, seq): deterministic at any parallelism."""
+    rec = dict(base_customer(idx))
+    rng = _rng("drift", idx, seq)
+    rec["source_system"] = "stream"
+    rec["source_id"] = f"STR_{rng.integers(10000, 99999)}"
+    which = int(rng.integers(4))
+    if which == 0:  # email domain swap (:822-830)
+        local = rec["email"].split("@")[0]
+        rec["email"] = f"{local}@{DOMAINS_SWAP[rng.integers(len(DOMAINS_SWAP))]}"
+    elif which == 1:  # phone reformat (:832-840)
+        rec["phone"] = PHONE_FORMATS[rng.integers(len(PHONE_FORMATS))](rec["phone"])
+    elif which == 2:  # name abbreviation (:842-852)
+        for long, short in NICKNAMES.items():
+            if long in rec["full_name"]:
+                rec["full_name"] = rec["full_name"].replace(long, short)
+                break
+    else:  # address abbreviation (:854-864)
+        for long, short in ADDRESS_ABBREVS:
+            if long in rec["address"]:
+                rec["address"] = rec["address"].replace(long, short)
+                break
+    return rec
+
+
+def stream_doc_id(idx: int, seq: int, new: bool) -> str:
+    return f"s-{idx:09d}-{'new' if new else 'drift'}-{seq}"
+
+
+def generate_stream_docs(num_base_customers: int, num_records: int,
+                         new_fraction: float = 0.8) -> pa.Table:
+    """Incremental-batch fixture (streaming notebook cell 14 semantics:
+    ``new_fraction`` brand-new customers, the rest drift-varied existing).
+    New customers take indices >= num_base_customers so ground truth stays
+    derivable from the doc_id."""
+    doc_ids, spans_col = [], []
+    for seq in range(num_records):
+        rng = _rng("stream", seq)
+        if rng.random() < new_fraction:
+            idx = num_base_customers + seq
+            rec = _vary(base_customer(idx), idx, "stream", 0)
+            rec["source_system"] = "stream"
+            new = True
+        else:
+            idx = int(rng.integers(num_base_customers))
+            rec = drift_record(idx, seq)
+            new = False
+        doc_ids.append(stream_doc_id(idx, seq, new))
+        spans_col.append(record_to_spans(idx, "stream", seq, rec))
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA
+    )
+
+
+def stream_doc_customer_idx(doc_id: str) -> tuple[int, bool]:
+    """(base-customer index, is_new) from a stream fixture doc_id."""
+    parts = doc_id.split("-")
+    return int(parts[1]), parts[2] == "new"
+
+
 def true_positive_pairs(num_customers: int) -> set[tuple[str, str]]:
     """Exact ground-truth positive pair set (for pairwise F1)."""
     out = set()
