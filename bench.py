@@ -33,9 +33,14 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     from mdm_ray.pairs import build_pairs
     from mdm_ray.scoring import score_pairs
 
+    from mdm_ray.dsutil import ensure_context
+
+    ensure_context()
     cfg = EngineConfig()
     t0 = time.time()
-    docs = synth.generate_documents_ray(customers, parallelism=num_cpus * 2)
+    # materialize the tiny generated fixture so the featurize chain fans out
+    # over real-sized blocks instead of bundling the ~KB range inputs
+    docs = synth.generate_documents_ray(customers, parallelism=num_cpus * 2).materialize()
     feats = pipeline.build_features(docs, cfg).materialize()
     n_docs = feats.count()
     t_feat = time.time()

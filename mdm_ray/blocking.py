@@ -34,6 +34,18 @@ from .config import EngineConfig, DEFAULT_CONFIG
 from .minhash import MinHasher
 from .phonetic import metaphone, soundex
 
+# 64-bit key fingerprints: the pair-dedup total order. crc32 ‖ adler32 of the
+# key string — both C-speed; collision ≈ 2^-64 per key pair, and a collision
+# can at worst drop one duplicate-emitted pair, never a unique one.
+KEY_HASH_PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def key_hash(k: str) -> int:
+    d = k.encode("utf-8")
+    h = (zlib.adler32(d) << 32) | zlib.crc32(d)
+    return h - 1 if h == int(KEY_HASH_PAD) else h
+
+
 # columns carried through the blocking shuffle into pair scoring
 SCORING_FIELDS = [
     "doc_id",
@@ -108,18 +120,20 @@ class BlockKeyEmitter:
             [c for c in set(cols_present + ["media_refs", "name_metaphone"]) if c in batch.column_names]
         ).to_pylist()
         out_keys: list[str] = []
-        key_lists: list[list[str]] = []
+        hash_lists: list[list[int]] = []
         take_idx: list[int] = []
         for i, row in enumerate(rows):
-            keys = sorted(set(self.keys_for_row(row)))
+            keys = set(self.keys_for_row(row))
+            # ascending-hash order: the dedup total order pairs.py relies on
+            hashes = sorted(key_hash(k) for k in keys)
             for k in keys:
                 out_keys.append(k)
-                key_lists.append(keys)
+                hash_lists.append(hashes)
                 take_idx.append(i)
         taken = batch.select(cols_present).take(pa.array(take_idx, pa.int64()))
         taken = taken.append_column("block_key", pa.array(out_keys, pa.string()))
         return taken.append_column(
-            "block_keys", pa.array(key_lists, pa.list_(pa.string()))
+            "key_hashes", pa.array(hash_lists, pa.list_(pa.uint64()))
         )
 
 
@@ -163,11 +177,34 @@ def salt_batch(batch: pa.Table, hot: dict[str, int], cap: int) -> pa.Table:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_emitter(num_perm: int, shingle_k: int, bands: int,
+                    max_block: int, use_mp: bool, use_media: bool) -> BlockKeyEmitter:
+    cfg = EngineConfig(
+        lsh_num_perm=num_perm, lsh_shingle_k=shingle_k, lsh_bands=bands,
+        max_block_size=max_block, use_metaphone_key=use_mp, use_media_ref_key=use_media,
+    )
+    return BlockKeyEmitter(cfg)
+
+
+def emit_keys_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Stateless-task twin of BlockKeyEmitter: the MinHasher is cached per
+    worker process (lru_cache), so plain tasks scale elastically with no
+    actor-pool cap while still building the permutation table once."""
+    em = _cached_emitter(
+        cfg.lsh_num_perm, cfg.lsh_shingle_k, cfg.lsh_bands,
+        cfg.max_block_size, cfg.use_metaphone_key, cfg.use_media_ref_key,
+    )
+    return em(batch)
+
+
 def build_blocked(features_ds, cfg: EngineConfig = DEFAULT_CONFIG, skip_salting: bool = False):
     """features Dataset -> salted (block_key, scoring-fields, chunk) Dataset."""
     blocked = features_ds.map_batches(
-        BlockKeyEmitter, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        concurrency=(1, 8),
+        functools.partial(emit_keys_batch, cfg=cfg), batch_format="pyarrow",
     )
     if skip_salting:
         return blocked.map_batches(

@@ -397,6 +397,9 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
     """Merge new interleaved docs into an existing golden table (module doc)."""
     import ray.data
 
+    from .dsutil import ensure_context
+
+    ensure_context()
     feats = featurize(new_docs_ds).map_batches(
         prep_scoring_columns, batch_format="pyarrow"
     ).materialize()

@@ -10,10 +10,13 @@ The Ray-native replacement for the reference's CROSS JOIN + UNION DISTINCT
   kernel emits pairs for all groups in the block in one vectorized pass —
   no per-group UDF dispatch;
 * pairs are canonicalized ``(min(doc_id), max(doc_id))``;
-* **dedup without a second shuffle**: every row carries its full sorted key
-  list (``block_keys``); a pair is emitted only inside the lexicographically
-  smallest key both docs share, so a pair discovered under several keys
-  materializes exactly once;
+* **dedup without a second shuffle**: every row carries its full key-set as
+  sorted 64-bit fingerprints (``key_hashes``, see ``blocking.key_hash``); a
+  pair is emitted only inside the key whose fingerprint is the *minimum*
+  fingerprint the two docs share, so a pair discovered under several keys
+  materializes exactly once. The shared-minimum test is fully vectorized:
+  per pair-chunk, one padded ``[P, m]`` membership sweep per key slot —
+  no Python loop over pairs;
 * salted groups ``<key>#i_j`` (see ``blocking.salt_batch``) pair chunk-i rows
   with chunk-j rows only (all pairs when i==j), reproducing the unsalted pair
   multiset exactly.
@@ -28,30 +31,48 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from .blocking import SCORING_FIELDS
+from .blocking import KEY_HASH_PAD, SCORING_FIELDS, key_hash
 
 MAX_PAIRS_PER_CHUNK = 131_072
+_DEDUP_CHUNK = 262_144
 
 
-def _first_common_key(keys_a: list[str], keys_b: list[str]) -> str | None:
-    """First common element of two sorted lists (early-exit merge walk)."""
-    i = j = 0
-    la, lb = len(keys_a), len(keys_b)
-    while i < la and j < lb:
-        ka, kb = keys_a[i], keys_b[j]
-        if ka == kb:
-            return ka
-        if ka < kb:
-            i += 1
-        else:
-            j += 1
-    return None
+def _padded_key_matrix(batch: pa.Table) -> np.ndarray:
+    """[n, m] uint64 matrix of each row's sorted key fingerprints, padded."""
+    kh = batch["key_hashes"].combine_chunks()
+    flat = kh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    offsets = kh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    n = batch.num_rows
+    m = int(lens.max()) if n else 1
+    K = np.full((n, m), KEY_HASH_PAD, dtype=np.uint64)
+    if len(flat):
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(len(flat)) - np.repeat(offsets[:-1], lens)
+        K[rows, cols] = flat
+    return K
+
+
+def _min_shared_hash(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Per pair, the minimum fingerprint present in both rows (PAD if none).
+
+    A, B: [P, m] uint64 padded. One vectorized membership sweep per key slot
+    (m ≈ 20), O(P·m²) compares but only O(P·m) memory.
+    """
+    P, m = A.shape
+    out = np.full(P, KEY_HASH_PAD, dtype=np.uint64)
+    for c in range(m):
+        val = A[:, c]
+        live = val != KEY_HASH_PAD
+        if not live.any():
+            break
+        hit = (B == val[:, None]).any(axis=1) & live
+        np.minimum(out, np.where(hit, val, KEY_HASH_PAD), out=out)
+    return out
 
 
 def _emit_group(
-    doc_ids: np.ndarray,
     chunks: np.ndarray | None,
     key: str,
     start: int,
@@ -89,7 +110,7 @@ def emit_pairs_block(batch: pa.Table) -> Iterator[pa.Table]:
         return
     keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
     doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
-    key_lists = batch["block_keys"].to_pylist()
+    K = _padded_key_matrix(batch)
     chunks = (
         batch["chunk"].to_numpy(zero_copy_only=False)
         if "chunk" in batch.column_names
@@ -124,27 +145,25 @@ def emit_pairs_block(batch: pa.Table) -> Iterator[pa.Table]:
     for s, e, in zip(starts, stops):
         if e - s < 2:
             continue
-        ii, jj, base = _emit_group(doc_ids, chunks, str(keys[s]), s, e)
+        ii, jj, base = _emit_group(chunks, str(keys[s]), s, e)
         if len(ii) == 0:
             continue
-        # canonical-key dedup: keep pair only if `base` is the smallest shared key
-        keep = np.fromiter(
-            (
-                _first_common_key(key_lists[x], key_lists[y]) == base
-                for x, y in zip(ii, jj)
-            ),
-            dtype=bool,
-            count=len(ii),
-        )
-        if not keep.any():
-            continue
-        pend_ii.append(ii[keep])
-        pend_jj.append(jj[keep])
-        pending += int(keep.sum())
-        if pending >= MAX_PAIRS_PER_CHUNK:
-            emitted_any = True
-            pending = 0
-            yield flush()
+        base_hash = np.uint64(key_hash(base))
+        # canonical-key dedup: keep pair only if `base` is the minimum-
+        # fingerprint key both docs share (chunked, vectorized)
+        for lo in range(0, len(ii), _DEDUP_CHUNK):
+            ci = ii[lo: lo + _DEDUP_CHUNK]
+            cj = jj[lo: lo + _DEDUP_CHUNK]
+            keep = _min_shared_hash(K[ci], K[cj]) == base_hash
+            if not keep.any():
+                continue
+            pend_ii.append(ci[keep])
+            pend_jj.append(cj[keep])
+            pending += int(keep.sum())
+            if pending >= MAX_PAIRS_PER_CHUNK:
+                emitted_any = True
+                pending = 0
+                yield flush()
     if pending:
         emitted_any = True
         yield flush()
@@ -163,7 +182,14 @@ def _empty_pairs(batch: pa.Table, fields: list[str]) -> pa.Table:
 
 def build_pairs(blocked_ds):
     """blocked Dataset -> globally-deduped candidate-pair Dataset (both sides'
-    scoring fields inline; no further shuffle needed before scoring)."""
-    return blocked_ds.sort("block_key").map_batches(
+    scoring fields inline; no further shuffle needed before scoring).
+
+    The pre-split repartition (no shuffle — local block split) sets the sort's
+    mapper/reducer count to ~2× the cluster CPUs so pair emission fans out
+    even when upstream stages produced few large blocks."""
+    from .dsutil import default_parallelism
+
+    n = default_parallelism()
+    return blocked_ds.repartition(n, shuffle=False).sort("block_key").map_batches(
         emit_pairs_block, batch_size=None, batch_format="pyarrow"
     )

@@ -25,6 +25,9 @@ from .survivorship import build_golden
 
 
 def build_features(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = True):
+    from .dsutil import ensure_context
+
+    ensure_context()
     feats = featurize(docs_ds)
     feats = feats.map_batches(prep_scoring_columns, batch_format="pyarrow")
     if with_embeddings:

@@ -62,6 +62,33 @@ def _eq_nonnull(a: list, b: list) -> np.ndarray:
     )
 
 
+def _emb_matrix(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy list<float> column → ([n, d] float64 matrix, valid mask).
+
+    Avoids per-row ``to_pylist`` (the former scorer hot spot): one flatten +
+    one reshape when all rows share the fixed dim; rows that are null or of a
+    different length are zeroed with valid=False.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0)), np.zeros(0, dtype=bool)
+    # .values (raw child) stays aligned with .offsets even when slots are null
+    # (.flatten() would skip null slots and desynchronize)
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    null_mask = np.asarray(arr.is_null())
+    d = int(lens.max()) if len(lens) else 0
+    valid = (~null_mask) & (lens == d) & (d > 0)
+    if d and valid.all() and offsets[0] + n * d <= len(values) and np.all(lens == d):
+        return values[offsets[0]: offsets[0] + n * d].reshape(n, d), valid
+    mat = np.zeros((n, max(d, 1)), dtype=np.float64)
+    for i in np.nonzero(valid)[0]:
+        mat[i] = values[offsets[i]: offsets[i] + d]
+    return mat, valid
+
+
 def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
     n = batch.num_rows
     w = cfg.weights
@@ -99,15 +126,13 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
 
     # ---- vector (bigquery_utils.py:406-425) ---------------------------------
     if "1_embedding" in batch.column_names:
-        e1 = batch["1_embedding"].to_pylist()
-        e2 = batch["2_embedding"].to_pylist()
-        valid = np.array([x is not None and y is not None for x, y in zip(e1, e2)])
+        m1, v1 = _emb_matrix(batch["1_embedding"])
+        m2, v2 = _emb_matrix(batch["2_embedding"])
+        valid = v1 & v2
         cos = np.zeros(n)
         if valid.any():
             idx = np.nonzero(valid)[0]
-            u = np.array([e1[i] for i in idx], dtype=np.float64)
-            v = np.array([e2[i] for i in idx], dtype=np.float64)
-            cos[idx] = cosine_batch(u, v)
+            cos[idx] = cosine_batch(m1[idx], m2[idx])
         vector = np.where(cos > C.VECTOR_SIM_THRESHOLD, cos, 0.0)
     else:
         cos = np.zeros(n)

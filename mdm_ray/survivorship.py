@@ -47,33 +47,32 @@ FLAG_FIELDS = {
 
 
 def _rank_columns(batch: pa.Table) -> pa.Table:
-    """Append composite rank columns consumed by the Max aggregators."""
-    doc_ids = batch["doc_id"].to_pylist()
+    """Append composite rank columns consumed by the Max aggregators
+    (vectorized Arrow compute; nulls propagate through the joins, matching the
+    former per-row None handling)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+
+    def col(src):
+        return batch[src] if src in batch.column_names else pa.nulls(n, pa.string())
+
     for out, src in LONGEST_FIELDS.items():
-        vals = batch[src].to_pylist() if src in batch.column_names else [None] * batch.num_rows
+        v = col(src)
+        # f"{len(v):04d}|{v}" — zero-padded length so Max == longest (ties by value)
+        ln = pc.utf8_lpad(pc.cast(pc.utf8_length(v), pa.string()), width=4, padding="0")
         batch = batch.append_column(
-            "_rk_" + out,
-            pa.array(
-                [None if v is None else f"{len(v):04d}|{v}" for v in vals],
-                pa.string(),
-            ),
+            "_rk_" + out, pc.binary_join_element_wise(ln, v, "|")
         )
     for out, src in RECENT_FIELDS.items():
-        vals = batch[src].to_pylist() if src in batch.column_names else [None] * batch.num_rows
+        v = col(src)
+        # f"{doc_id}|{v}" — recency = doc_id order (deterministic, see module doc)
         batch = batch.append_column(
-            "_rk_" + out,
-            pa.array(
-                [
-                    None if v is None else f"{d}|{v}"
-                    for d, v in zip(doc_ids, vals)
-                ],
-                pa.string(),
-            ),
+            "_rk_" + out, pc.binary_join_element_wise(batch["doc_id"], v, "|")
         )
     for out, src in FLAG_FIELDS.items():
-        vals = batch[src].to_pylist() if src in batch.column_names else [None] * batch.num_rows
         batch = batch.append_column(
-            "_fl_" + out, pa.array([int(v is not None) for v in vals], pa.int64())
+            "_fl_" + out, pc.cast(pc.is_valid(col(src)), pa.int64())
         )
     return batch
 
