@@ -13,3 +13,15 @@ Reference semantics citations use ``file:line`` into ``/root/reference/``.
 """
 
 __version__ = "0.1.0"
+
+# Apply the engine's Ray Data context tuning (block sizing + hash shuffle) at
+# import time: Ray snapshots the DataContext into every Dataset at creation,
+# so the tuning must precede any Dataset a caller builds (tests / drivers
+# often create input Datasets before invoking pipeline functions). Process-
+# local config only — does not initialize Ray.
+from .dsutil import ensure_context as _ensure_context
+
+try:
+    _ensure_context()
+except Exception:  # pragma: no cover — ray.data unavailable/changed API
+    pass

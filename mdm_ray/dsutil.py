@@ -62,4 +62,11 @@ def grouped_kernel(ds, key: str, fn: Callable[[pa.Table, np.ndarray, np.ndarray]
         starts, stops = group_boundaries(keys)
         return fn(batch, starts, stops)
 
-    return ds.sort(key).map_batches(wrapper, batch_size=None, batch_format="pyarrow")
+    # pre-split (no shuffle) so the sort fans out to ~2× the cluster CPUs even
+    # when the input is one small block; range partitioning never splits an
+    # equal-key run, so groups stay whole
+    return (
+        ds.repartition(default_parallelism(), shuffle=False)
+        .sort(key)
+        .map_batches(wrapper, batch_size=None, batch_format="pyarrow")
+    )

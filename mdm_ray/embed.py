@@ -68,11 +68,32 @@ class HashingEmbedder:
         return batch.append_column(self.column, pa.array(col.to_pylist(), pa.list_(pa.float32())))
 
 
-def add_embeddings(features_ds, dim: int = 64, concurrency=(1, 8), batch_size: int = 4096):
-    return features_ds.map_batches(
-        HashingEmbedder,
-        fn_constructor_kwargs={"dim": dim},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        batch_size=batch_size,
-    )
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_embedder(dim: int) -> HashingEmbedder:
+    return HashingEmbedder(dim=dim)
+
+
+def add_embeddings(features_ds, dim: int = 64, concurrency=None, batch_size: int = 4096):
+    """Embedding stage.
+
+    Default (``concurrency=None``): stateless tasks with the embedder cached
+    per worker process — the hashing embedder's state is a few ints, so an
+    actor pool would only add startup latency. A REAL model (weights loaded
+    once, GPU residency) should pass ``concurrency=(k, n)`` to get the
+    actor-pool form — same callable class, same batch contract."""
+    if concurrency is not None:
+        return features_ds.map_batches(
+            HashingEmbedder,
+            fn_constructor_kwargs={"dim": dim},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+
+    def embed(batch: pa.Table, dim: int = dim) -> pa.Table:
+        return _cached_embedder(dim)(batch)
+
+    return features_ds.map_batches(embed, batch_format="pyarrow", batch_size=batch_size)

@@ -493,11 +493,10 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
     if unmatched.count() > 0:
         from .blocking import build_blocked
         from .cluster import build_edges, connected_components, init_labels
-        from .pairs import build_pairs
-        from .scoring import score_pairs
+        from .pairs import build_scored
         from .survivorship import build_golden
 
-        scored = score_pairs(build_pairs(build_blocked(unmatched, cfg)), cfg)
+        scored = build_scored(build_blocked(unmatched, cfg), cfg)
         labels = connected_components(
             build_edges(scored), init_labels(unmatched), cfg
         )

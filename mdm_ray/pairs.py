@@ -4,11 +4,11 @@ The Ray-native replacement for the reference's CROSS JOIN + UNION DISTINCT
 (``batch_mdm_gcp/bigquery_utils.py:330-332`` pair-space halving via
 ``record_id <``; ``:563-576`` pair dedup across strategies):
 
-* one ``sort(block_key)`` range-partitions rows so every blocking group is
-  complete inside one block (Ray's sort co-locates equal key values — the
-  same guarantee ``map_groups`` relies on), then a *block-level* generator
-  kernel emits pairs for all groups in the block in one vectorized pass —
-  no per-group UDF dispatch;
+* one hash ``repartition(keys=[block_key])`` co-locates every blocking group
+  whole inside one block (and scatters hot groups across partitions — see
+  ``_partition_by_key``), then a *block-level* generator kernel locally sorts
+  and emits pairs for all groups in the block in one vectorized pass — no
+  per-group UDF dispatch;
 * pairs are canonicalized ``(min(doc_id), max(doc_id))``;
 * **dedup without a second shuffle**: every row carries its full key-set as
   sorted 64-bit fingerprints (``key_hashes``, see ``blocking.key_hash``); a
@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from .blocking import KEY_HASH_PAD, SCORING_FIELDS, key_hash
 
-MAX_PAIRS_PER_CHUNK = 131_072
+MAX_PAIRS_PER_CHUNK = 32_768  # small chunks → even distribution to scorer actors
 _DEDUP_CHUNK = 262_144
 
 
@@ -102,13 +102,18 @@ def _emit_group(
 
 
 def emit_pairs_block(batch: pa.Table) -> Iterator[pa.Table]:
-    """map_batches generator kernel over a sorted-by-block_key block."""
+    """map_batches generator kernel over a block holding complete key groups
+    (hash-partitioned or globally sorted — locally sorts by key either way)."""
     fields = [f for f in SCORING_FIELDS if f in batch.column_names]
     n = batch.num_rows
     if n == 0:
         yield _empty_pairs(batch, fields)
         return
     keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+    if n > 1 and np.any(keys[1:] < keys[:-1]):  # local sort for hash-partitioned input
+        order = np.argsort(keys, kind="stable")
+        batch = batch.take(pa.array(order, pa.int64()))
+        keys = keys[order]
     doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
     K = _padded_key_matrix(batch)
     chunks = (
@@ -189,7 +194,63 @@ def build_pairs(blocked_ds):
     even when upstream stages produced few large blocks."""
     from .dsutil import default_parallelism
 
-    n = default_parallelism()
-    return blocked_ds.repartition(n, shuffle=False).sort("block_key").map_batches(
+def _partition_by_key(blocked_ds):
+    """Hash-partition so every key group lands whole in one block.
+
+    Implemented as sort on a derived ``_part = crc32(block_key) mod n`` int
+    column: Ray's sort co-locates equal values in one block (the same
+    guarantee pair emission needs), while the hash scatters hot key groups
+    pseudo-randomly across partitions — with a plain range partition on the
+    key itself, contiguous hot-key regions put ~a quarter of all candidate
+    pairs into one straggler partition. Sorting a small-cardinality int is
+    also cheaper than sorting the key strings. Each kernel locally re-sorts
+    its block by the actual key."""
+    import zlib
+
+    from .dsutil import default_parallelism
+
+    n = default_parallelism(multiplier=4)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        parts = [
+            zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
+            for k in b["block_key"].to_pylist()
+        ]
+        return b.append_column("_part", pa.array(parts, pa.int32()))
+
+    # pre-split (cheap, no shuffle): the sort emits one output partition per
+    # input block, so the input must already have ~n blocks for n-way fan-out
+    return (
+        blocked_ds.map_batches(add_part, batch_format="pyarrow")
+        .repartition(n, shuffle=False)
+        .sort("_part")
+    )
+
+
+def build_pairs(blocked_ds):
+    """blocked Dataset -> globally-deduped candidate-pair Dataset (both sides'
+    scoring fields inline; no further shuffle needed before scoring)."""
+    return _partition_by_key(blocked_ds).map_batches(
         emit_pairs_block, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def build_scored(blocked_ds, cfg=None, retain_filter: bool = True):
+    """blocked Dataset → scored-pair Dataset in ONE fused generator kernel per
+    partition: pairs are emitted in ~``MAX_PAIRS_PER_CHUNK`` slices and
+    scored immediately, so the wide pair table never exists anywhere — not
+    even transiently in the object store. This is the production path for the
+    full ER run (the standalone ``build_pairs``/``score_pairs`` stages remain
+    for operating on pair Datasets directly)."""
+    from .config import DEFAULT_CONFIG
+    from .scoring import score_pairs_batch
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def emit_and_score(batch: pa.Table) -> Iterator[pa.Table]:
+        for chunk in emit_pairs_block(batch):
+            yield score_pairs_batch(chunk, cfg, retain_filter)
+
+    return _partition_by_key(blocked_ds).map_batches(
+        emit_and_score, batch_size=None, batch_format="pyarrow"
     )

@@ -38,10 +38,11 @@ def build_features(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings:
 def run_er(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = True):
     """Full pipeline; returns dict of the key stage Datasets (lazy where
     possible — scored/golden are consumed by the caller)."""
+    from .pairs import build_scored
+
     feats = build_features(docs_ds, cfg, with_embeddings).materialize()
     blocked = build_blocked(feats, cfg)
-    pairs = build_pairs(blocked)
-    scored = score_pairs(pairs, cfg).materialize()
+    scored = build_scored(blocked, cfg).materialize()
     edges = build_edges(scored)
     labels = connected_components(edges, init_labels(feats), cfg)
     golden = build_golden(feats, labels, num_partitions=cfg.cc_num_partitions)
@@ -72,9 +73,11 @@ def run_er_checkpointed(docs_ds, ckpt_root: str | None,
         ckpt_root, "features", ch,
         lambda: build_features(docs_ds, cfg, with_embeddings).materialize(),
     )
+    from .pairs import build_scored
+
     scored, resumed["scored"] = storage.stage_or_compute(
         ckpt_root, "scored", ch,
-        lambda: score_pairs(build_pairs(build_blocked(feats, cfg)), cfg).materialize(),
+        lambda: build_scored(build_blocked(feats, cfg), cfg).materialize(),
         input_stage="features",
         metrics_fn=lambda ds: {"pairs_retained": ds.count()},
     )

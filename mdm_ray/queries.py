@@ -869,6 +869,20 @@ SELECT lang, count(*) AS sampled_docs FROM documents
 WHERE doc_id % 8 = 0 GROUP BY lang
 """
 
+RANDOM_SAMPLE_K = 500
+
+
+def q_random_sample(sf_dir: str):
+    """O3: seeded random sample (``ORDER BY RAND() LIMIT k``,
+    bigquery_utils.py:266-271) → ``random_shuffle(seed).limit(k)``. Rows-only
+    check: the sampled subset depends on partitioning, the size does not."""
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "lang"])
+        .random_shuffle(seed=42)
+        .limit(RANDOM_SAMPLE_K)
+    )
+
 
 # ---------------------------------------------------------------------------
 # ER-fixture pipelines (rows-only checks: input corpus is synthesized)
@@ -1007,6 +1021,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "analytics_agg": q_analytics_agg,
     "sample_agg": q_sample_agg,
+    "random_sample": q_random_sample,
     "er_golden": q_er_golden,
     "er_resolved": q_er_resolved,
     "er_incremental": q_er_incremental,

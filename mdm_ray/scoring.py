@@ -89,7 +89,8 @@ def _emb_matrix(col) -> tuple[np.ndarray, np.ndarray]:
     return mat, valid
 
 
-def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
+                      retain_filter: bool = True) -> pa.Table:
     n = batch.num_rows
     w = cfg.weights
 
@@ -146,7 +147,9 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
     )
     dob1 = _col(batch, "1_dob_days")
     dob2 = _col(batch, "2_dob_days")
-    dob_ok = np.array([x is not None and y is not None for x, y in zip(dob1, dob2)])
+    dob_ok = np.array(
+        [x is not None and y is not None for x, y in zip(dob1, dob2)], dtype=bool
+    )
     diff = np.array(
         [abs(x - y) if (x is not None and y is not None) else 0 for x, y in zip(dob1, dob2)],
         dtype=np.int64,
@@ -207,17 +210,35 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
             "confidence_level": pa.array(confidence.tolist(), pa.string()),
         }
     )
+    if not retain_filter:
+        return out
     # retain > 0.3 (bigquery_utils.py:634)
     import pyarrow.compute as pc
 
     return out.filter(pc.greater(out["combined_score"], C.RETAIN_THRESHOLD))
 
 
-def score_pairs(pairs_ds, cfg: EngineConfig = DEFAULT_CONFIG):
+def retain_scored(scored_ds):
+    """Apply the retain > 0.3 filter to an unfiltered scored Dataset."""
+    import pyarrow.compute as pc
+
+    return scored_ds.map_batches(
+        lambda b: b.filter(pc.greater(b["combined_score"], C.RETAIN_THRESHOLD)),
+        batch_format="pyarrow",
+    )
+
+
+def score_pairs(pairs_ds, cfg: EngineConfig = DEFAULT_CONFIG, retain_filter: bool = True):
+    """Wide pair batches → narrow scored rows, as stateless tasks.
+
+    For the streaming block→pair→score path use ``pairs.build_scored`` (one
+    fused generator kernel per sort partition — the wide pair table never
+    exists); this standalone stage is for scoring an already-materialized
+    pair Dataset."""
     import functools
 
     return pairs_ds.map_batches(
-        functools.partial(score_pairs_batch, cfg=cfg),
+        functools.partial(score_pairs_batch, cfg=cfg, retain_filter=retain_filter),
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
     )
