@@ -113,47 +113,60 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
         return labels_ds.select_columns(["node", "label"])
     labels = labels_ds.materialize()
 
-    for _ in range(cfg.max_cc_iterations):
-        msgs = edges.join(
-            labels,
-            join_type="inner",
-            num_partitions=cfg.cc_num_partitions,
-            on=("dst",),
-            right_on=("node",),
+    def msg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["src"],
+                "label": batch["label"],
+                "is_self": pa.array([0] * batch.num_rows, pa.int8()),
+            }
         )
 
-        def msg_rows(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": batch["src"],
-                    "label": batch["label"],
-                    "is_self": pa.array([0] * batch.num_rows, pa.int8()),
-                }
-            )
-
-        def self_rows(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": batch["node"],
-                    "label": batch["label"],
-                    "is_self": pa.array([1] * batch.num_rows, pa.int8()),
-                }
-            )
-
-        union = msgs.map_batches(msg_rows, batch_format="pyarrow").union(
-            labels.map_batches(self_rows, batch_format="pyarrow")
+    def self_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "label": batch["label"],
+                "is_self": pa.array([1] * batch.num_rows, pa.int8()),
+            }
         )
-        new_labels = union.sort("node").map_batches(
-            _min_label_block, batch_size=None, batch_format="pyarrow"
-        ).materialize()
-        changed = new_labels.sum("changed")
-        # repartition: merges away the schema-less empty blocks that the hash
-        # join emits for empty partitions (they crash downstream Arrow joins)
-        labels = (
-            new_labels.drop_columns(["changed"])
+
+    def first_msgs(batch: pa.Table) -> pa.Table:
+        # iteration 1 shortcut: labels are seeded label==node, so
+        # edges ⋈ labels is the identity — neighbor labels ARE the dst ids
+        return pa.table(
+            {
+                "node": batch["src"],
+                "label": batch["dst"],
+                "is_self": pa.array([0] * batch.num_rows, pa.int8()),
+            }
+        )
+
+    for it in range(cfg.max_cc_iterations):
+        if it == 0:
+            msgs = edges.map_batches(first_msgs, batch_format="pyarrow")
+        else:
+            joined = edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=cfg.cc_num_partitions,
+                on=("dst",),
+                right_on=("node",),
+            )
+            msgs = joined.map_batches(msg_rows, batch_format="pyarrow")
+
+        union = msgs.union(labels.map_batches(self_rows, batch_format="pyarrow"))
+        # ONE execution per iteration: sort + grouped-min + repartition fused.
+        # The repartition also merges away the schema-less empty blocks the
+        # hash join emits for empty partitions (they crash downstream joins).
+        new_labels = (
+            union.sort("node")
+            .map_batches(_min_label_block, batch_size=None, batch_format="pyarrow")
             .repartition(cfg.cc_num_partitions)
             .materialize()
         )
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"])
         if not changed:
             break
-    return labels
+    return labels.materialize()
