@@ -141,7 +141,12 @@ def main() -> int:
                  "--repeat", str(repeat)],
                 capture_output=True, text=True, env=env, check=True,
             )
-            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+            # raylet may interleave warnings on stdout: take the last JSON line
+            json_lines = [
+                ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith('{"metric"')
+            ]
+            results[cpus] = json.loads(json_lines[-1])
         pps_lo = results[lo]["er"]["pairs_per_sec_e2e"]
         pps_hi = results[hi]["er"]["pairs_per_sec_e2e"]
         eff = (pps_hi / pps_lo) / 4 if pps_lo else 0.0

@@ -180,3 +180,52 @@ def test_master_id_formula(t1):
             exp = r["cluster_id"]
         assert r["master_id"] == exp
     assert deterministic_master_id("a@b.c", None, "x") == deterministic_master_id("a@b.c", "999", "y")
+
+
+def test_fused_scored_equals_two_phase(ray_session):
+    """build_scored (streaming emit+score, retain off) must score exactly the
+    pair multiset that build_pairs emits — guards the fused production path
+    against dedup/partitioning regressions."""
+    from mdm_ray.pairs import build_scored
+    from mdm_ray.scoring import retain_scored, score_pairs
+
+    cfg = EngineConfig()
+    docs = synth.generate_documents_ray(150, parallelism=4)
+    feats = pipeline.build_features(docs, cfg, with_embeddings=False).materialize()
+    blocked = build_blocked(feats, cfg).materialize()
+
+    fused = build_scored(blocked, cfg, retain_filter=False).materialize()
+    two_phase = score_pairs(build_pairs(blocked), cfg, retain_filter=False).materialize()
+
+    a = fused.to_pandas().sort_values(["doc1_id", "doc2_id"]).reset_index(drop=True)
+    b = two_phase.to_pandas().sort_values(["doc1_id", "doc2_id"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    # retain filter composes identically
+    assert retain_scored(fused).count() == score_pairs(
+        build_pairs(blocked), cfg, retain_filter=True
+    ).count()
+
+
+def test_hash_partition_group_completeness(ray_session):
+    """_partition_by_key must land every block_key group whole in one block
+    (the invariant pair emission relies on)."""
+    from mdm_ray.pairs import _partition_by_key
+
+    cfg = EngineConfig()
+    docs = synth.generate_documents_ray(200, parallelism=4)
+    feats = pipeline.build_features(docs, cfg, with_embeddings=False).materialize()
+    blocked = build_blocked(feats, cfg).materialize()
+
+    part = _partition_by_key(blocked).materialize()
+    import ray
+
+    seen: dict[str, int] = {}
+    for bi, ref in enumerate(part.get_internal_block_refs()):
+        blk = ray.get(ref)
+        if "block_key" not in blk.schema.names:
+            assert blk.num_rows == 0  # empty sort partitions are schema-less
+            continue
+        for k in set(blk["block_key"].to_pylist()):
+            assert seen.setdefault(k, bi) == bi, f"group {k} split across blocks"
