@@ -319,12 +319,15 @@ def q_vector_pairs(sf_dir: str):
     )
 
 
+# embedding is list<float32>: cast to DOUBLE[] so DuckDB evaluates (and
+# returns) float64 like the engine; without the cast the oracle column is
+# float32 and every row hash-mismatches.
 SQL_VECTOR_PAIRS = f"""
 SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine_sim
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {VECTOR_PAIRS_THRESHOLD}
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {VECTOR_PAIRS_THRESHOLD}
 """
 
 
@@ -623,10 +626,10 @@ def q_ann_topk(sf_dir: str):
 SQL_ANN_TOPK = f"""
 SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank FROM (
   SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         list_cosine_similarity(q.embedding, d.embedding) AS sim,
+         list_cosine_similarity(q.embedding::DOUBLE[], d.embedding::DOUBLE[]) AS sim,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.embedding, d.embedding) DESC, d.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], d.embedding::DOUBLE[]) DESC, d.vec_id
          ) AS rank
   FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id
   WHERE q.vec_id < {ANN_NUM_QUERIES}
@@ -704,12 +707,13 @@ def q_dedup_embedding(sf_dir: str):
     )
 
 
+# DOUBLE[] cast: see SQL_VECTOR_PAIRS.
 SQL_DEDUP_EMBEDDING = f"""
 SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine_sim
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DEDUP_THRESHOLD}
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {EMB_DEDUP_THRESHOLD}
 """
 
 

@@ -83,8 +83,10 @@ def main() -> int:
             status.append(f"rows {len(ours)} vs {len(theirs)}")
         else:
             try:
+                # exact compare — the driver hashes values, so any bit-level
+                # difference (even float32-vs-float64 column dtype) fails there.
                 pd.testing.assert_frame_equal(
-                    ours, theirs, check_dtype=False, check_exact=False, atol=1e-9
+                    ours, theirs, check_dtype=False, check_exact=True
                 )
             except AssertionError as e:
                 status.append("values differ: " + str(e).split("\n")[-2][:150])
