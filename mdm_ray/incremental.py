@@ -284,7 +284,9 @@ def _argmax_per_doc(batch: pa.Table) -> pa.Table:
 MEMBER_FIELDS = [
     "doc_id", "source_system", "full_name_clean", "email_clean", "phone_clean",
     "address_clean", "city_clean", "state_clean", "company", "customer_segment",
+    "embedding",
 ]
+_MEMBER_FIELD_TYPES = {"embedding": pa.list_(pa.float32())}
 _UPDATE_FIELD_MAP = {
     # master column ← member feature column (new-wins-if-non-null, A7)
     "master_name": "full_name_clean",
@@ -325,6 +327,12 @@ def _merge_entities_block(batch: pa.Table) -> pa.Table:
                     v = m.get(src)
                     if v is not None and v != "":
                         g[master_col] = v
+                # UPDATE SET embedding = @embedding, processing_path =
+                # 'stream_updated' — streaming_processor.py:563-564 (embedding
+                # overwritten unconditionally with the incoming record's;
+                # income / first_seen / last_activity / confidence untouched).
+                g["embedding"] = m.get("embedding")
+            g["processing_path"] = "stream_updated"
             ids = set(g["source_record_ids"] or []) | {m["doc_id"] for m in members}
             g["source_record_ids"] = sorted(ids)
             g["source_record_count"] = len(ids)
@@ -343,8 +351,10 @@ def _merge_entities_block(batch: pa.Table) -> pa.Table:
 _MERGE_GOLDEN_COLUMNS = [
     "cluster_id", "master_id", "master_name", "master_email", "master_phone",
     "master_address", "master_city", "master_state", "master_company",
-    "master_segment", "source_record_ids", "source_record_count",
-    "source_systems", "has_email", "has_phone", "has_address",
+    "master_income", "master_segment", "source_record_ids",
+    "source_record_count", "source_systems", "first_seen", "last_activity",
+    "has_email", "has_phone", "has_address", "confidence_score",
+    "processing_path", "embedding",
 ]
 
 
@@ -360,13 +370,19 @@ def _merged_golden_schema() -> pa.Schema:
             ("master_city", pa.string()),
             ("master_state", pa.string()),
             ("master_company", pa.string()),
+            ("master_income", pa.int64()),
             ("master_segment", pa.string()),
             ("source_record_ids", pa.list_(pa.string())),
             ("source_record_count", pa.int64()),
             ("source_systems", pa.list_(pa.string())),
+            ("first_seen", pa.string()),
+            ("last_activity", pa.string()),
             ("has_email", pa.int64()),
             ("has_phone", pa.int64()),
             ("has_address", pa.int64()),
+            ("confidence_score", pa.float64()),
+            ("processing_path", pa.string()),
+            ("embedding", pa.list_(pa.float32())),
         ]
     )
 
@@ -447,8 +463,11 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
         lookup = ray.get(cluster_ref)
         cl = [lookup.get(d) for d in b["doc_id"].to_pylist()]
         keep = pa.array([c is not None for c in cl])
-        cols = {f: b[f] if f in b.column_names else pa.nulls(b.num_rows, pa.string())
-                for f in MEMBER_FIELDS}
+        cols = {
+            f: b[f] if f in b.column_names
+            else pa.nulls(b.num_rows, _MEMBER_FIELD_TYPES.get(f, pa.string()))
+            for f in MEMBER_FIELDS
+        }
         cols["cluster_id"] = pa.array(cl, pa.string())
         return pa.table(cols).filter(keep)
 
@@ -504,7 +523,19 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
             ids = pa.array(
                 ["inc-" + x for x in b["cluster_id"].to_pylist()], pa.string()
             )
-            return b.drop_columns(["cluster_id"]).add_column(0, "cluster_id", ids)
+            b = b.drop_columns(["cluster_id"]).add_column(0, "cluster_id", ids)
+            # new streaming entities: confidence 0.8, path 'stream'
+            # (streaming_processor.py:630-631); build_golden stamps the batch
+            # constants, so overwrite them here.
+            n = b.num_rows
+            b = b.set_column(
+                b.column_names.index("confidence_score"), "confidence_score",
+                pa.array([0.8] * n, pa.float64()),
+            )
+            return b.set_column(
+                b.column_names.index("processing_path"), "processing_path",
+                pa.array(["stream"] * n, pa.string()),
+            )
 
         new_golden = build_golden(
             unmatched, labels, num_partitions=cfg.cc_num_partitions

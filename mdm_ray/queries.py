@@ -495,6 +495,11 @@ SELECT src AS p_partkey, min(dst) AS cluster_id FROM reach GROUP BY src
 # ---------------------------------------------------------------------------
 
 def q_survivorship(sf_dir: str):
+    """Pseudo-cluster survivorship incl. the golden-record date fields:
+    first_seen = MIN / last_activity = MAX of the member customers' order
+    dates (mirrors bigquery_utils.py:750-751 MIN(registration_date) /
+    MAX(last_activity_date); pre-aggregated per customer so member_count
+    stays a customer count, then a small hash join)."""
     from ray.data.aggregate import Count, Max, Min
 
     ds = _add_block_key(
@@ -505,13 +510,34 @@ def q_survivorship(sf_dir: str):
         name="cluster_key",
     )
 
+    def date_str(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "_odate": pc.strftime(b["o_orderdate"], format="%Y-%m-%d"),
+            }
+        )
+
+    per_cust = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderdate"])
+        .map_batches(date_str, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Min("_odate"), Max("_odate"))
+    )
+    joined = ds.join(
+        per_cust, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
     def rank(b: pa.Table) -> pa.Table:
         names = b["c_name"].to_pylist()
         comp = [f"{len(x):04d}|{x}" for x in names]
         return b.append_column("_name_rank", pa.array(comp, pa.string()))
 
-    agged = ds.map_batches(rank, batch_format="pyarrow").groupby("cluster_key").aggregate(
-        Count(), Max("_name_rank"), Max("c_acctbal"), Min("c_custkey")
+    agged = joined.map_batches(rank, batch_format="pyarrow").groupby("cluster_key").aggregate(
+        Count(), Max("_name_rank"), Max("c_acctbal"), Min("c_custkey"),
+        Min("min(_odate)"), Max("max(_odate)"),
     )
 
     def finalize(b: pa.Table) -> pa.Table:
@@ -526,6 +552,8 @@ def q_survivorship(sf_dir: str):
                 ),
                 "member_count": b["count()"],
                 "min_custkey": b["min(c_custkey)"],
+                "first_seen": pc.cast(b["min(min(_odate))"], pa.string()),
+                "last_activity": pc.cast(b["max(max(_odate))"], pa.string()),
             }
         )
 
@@ -533,13 +561,20 @@ def q_survivorship(sf_dir: str):
 
 
 SQL_SURVIVORSHIP = """
+WITH per_cust AS (
+  SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m-%d')) AS f,
+         max(strftime(o_orderdate, '%Y-%m-%d')) AS l
+  FROM orders GROUP BY o_custkey
+)
 SELECT c_mktsegment || '|' || c_nationkey AS cluster_key,
        split_part(max(lpad(length(c_name)::VARCHAR, 4, '0') || '|' || c_name), '|', 2)
          AS master_name,
        round(max(c_acctbal), 6) AS master_acctbal,
        count(*) AS member_count,
-       min(c_custkey) AS min_custkey
-FROM customer
+       min(c_custkey) AS min_custkey,
+       min(f) AS first_seen,
+       max(l) AS last_activity
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 GROUP BY c_mktsegment, c_nationkey
 """
 

@@ -41,6 +41,9 @@ FIELD_KINDS = [
     "company",
     "job_title",
     "customer_segment",
+    "annual_income",
+    "registration_date",
+    "last_activity_date",
     "source_system",
     "source_id",
 ]
@@ -79,12 +82,18 @@ GOLDEN_COLUMNS = [
     "master_city",
     "master_state",
     "master_company",
+    "master_income",
     "master_segment",
     "source_record_count",
     "source_systems",
+    "first_seen",
+    "last_activity",
     "has_email",
     "has_phone",
     "has_address",
+    "confidence_score",
+    "processing_path",
+    "embedding",
 ]
 
 LABELS_SCHEMA = pa.schema(

@@ -25,7 +25,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
-from ray.data.aggregate import Count, Max, Unique
+from ray.data.aggregate import Count, Max, Min, Unique
 
 LONGEST_FIELDS = {
     "master_name": "full_name_clean",
@@ -44,6 +44,19 @@ FLAG_FIELDS = {
     "has_phone": "phone_clean",
     "has_address": "address_clean",
 }
+# master_income = MAX(annual_income) / first_seen = MIN(registration_date) /
+# last_activity = MAX(last_activity_date) — bigquery_utils.py:742,750-751.
+# Dates ride as ISO strings (span text), so lexicographic Min/Max == date
+# Min/Max; income is cast to int64 before the Max.
+INCOME_SRC = "annual_income"
+FIRST_SEEN_SRC = "registration_date"
+LAST_ACTIVITY_SRC = "last_activity_date"
+# Constants stamped on the batch path when golden records land in the entity
+# store (spanner_utils.py:527-528: 0.95, 'batch_migrated'); the incremental
+# path overrides with the streaming values ('stream' 0.8 / 'stream_updated',
+# streaming_processor.py:563-564,630-631).
+BATCH_CONFIDENCE = 0.95
+BATCH_PROCESSING_PATH = "batch_migrated"
 
 
 def _rank_columns(batch: pa.Table) -> pa.Table:
@@ -74,6 +87,12 @@ def _rank_columns(batch: pa.Table) -> pa.Table:
         batch = batch.append_column(
             "_fl_" + out, pc.cast(pc.is_valid(col(src)), pa.int64())
         )
+    income = col(INCOME_SRC)
+    if income.type == pa.string():
+        income = pc.cast(income, pa.int64())
+    batch = batch.append_column("_income", income)
+    batch = batch.append_column("_first_seen", col(FIRST_SEEN_SRC))
+    batch = batch.append_column("_last_activity", col(LAST_ACTIVITY_SRC))
     return batch
 
 
@@ -115,14 +134,25 @@ def _finalize(batch: pa.Table) -> pa.Table:
         [sorted(set(x)) for x in batch["unique(source_system)"].to_pylist()],
         pa.list_(pa.string()),
     )
+    import pyarrow.compute as pc
+    cols["master_income"] = pc.cast(batch["max(_income)"], pa.int64())
+    cols["first_seen"] = pc.cast(batch["min(_first_seen)"], pa.string())
+    cols["last_activity"] = pc.cast(batch["max(_last_activity)"], pa.string())
     for out in FLAG_FIELDS:
         cols[out] = batch[f"max(_fl_{out})"]
+    cols["confidence_score"] = pa.array([BATCH_CONFIDENCE] * n, pa.float64())
+    cols["processing_path"] = pa.array([BATCH_PROCESSING_PATH] * n, pa.string())
+    # batch-path entities land without an embedding (the reference's batch
+    # migration omits the column, spanner_utils.py:408-416); the incremental
+    # upsert sets it from the incoming record (streaming_processor.py:563-580).
+    cols["embedding"] = pa.nulls(n, pa.list_(pa.float32()))
     return pa.table(cols)
 
 
 SURVIVE_INPUT_COLUMNS = [
     "doc_id", "source_system", "full_name_clean", "email_clean", "phone_clean",
     "address_clean", "city_clean", "state_clean", "company", "customer_segment",
+    "annual_income", "registration_date", "last_activity_date",
 ]
 
 
@@ -133,8 +163,16 @@ def empty_golden_table() -> pa.Table:
         ("source_record_ids", pa.list_(pa.string())),
         ("source_record_count", pa.int64()),
         ("source_systems", pa.list_(pa.string())),
+        ("master_income", pa.int64()),
+        ("first_seen", pa.string()),
+        ("last_activity", pa.string()),
     ]
     fields += [(c, pa.int64()) for c in FLAG_FIELDS]
+    fields += [
+        ("confidence_score", pa.float64()),
+        ("processing_path", pa.string()),
+        ("embedding", pa.list_(pa.float32())),
+    ]
     return pa.table({n: pa.array([], t) for n, t in fields})
 
 
@@ -160,6 +198,9 @@ def build_golden(features_ds, labels_ds, num_partitions: int = 16):
         aggs.append(Max("_rk_" + out))
     for out in FLAG_FIELDS:
         aggs.append(Max("_fl_" + out))
+    aggs.append(Max("_income"))
+    aggs.append(Min("_first_seen"))
+    aggs.append(Max("_last_activity"))
     aggs.append(Unique("doc_id"))
     aggs.append(Unique("source_system"))
     agged = ranked.groupby("label").aggregate(*aggs)

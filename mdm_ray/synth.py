@@ -129,6 +129,24 @@ def base_customer(idx: int) -> dict:
         "company": COMPANIES[rng.integers(len(COMPANIES))],
         "job_title": JOB_TITLES[rng.integers(len(JOB_TITLES))],
         "customer_segment": SEGMENTS[rng.integers(len(SEGMENTS))],
+        # income + date fields (data_generator.py:78-81; Faker windows replaced
+        # by a fixed anchor so the fixture is content-seeded). Drawn from a
+        # separate rng stream so pre-existing field values stay byte-identical.
+        **_extra_fields(idx),
+    }
+
+
+_DATE_ANCHOR = np.datetime64("2026-01-01", "D")
+
+
+def _extra_fields(idx: int) -> dict:
+    rng = _rng("extra", idx)
+    reg = _DATE_ANCHOR - int(rng.integers(0, 5 * 365))   # '-5y' window
+    act = _DATE_ANCHOR - int(rng.integers(0, 365))       # '-1y' window
+    return {
+        "annual_income": str(int(rng.integers(30000, 200001))),
+        "registration_date": str(reg),
+        "last_activity_date": str(act),
     }
 
 

@@ -176,3 +176,26 @@ def test_incremental_determinism(merged, ray_session):
     pd.testing.assert_frame_equal(
         a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
     )
+
+
+def test_processing_path_and_confidence(merged):
+    """Updated entities: path='stream_updated', embedding = incoming record's
+    (streaming_processor.py:563-580); new entities: path='stream',
+    confidence=0.8 (:630-631); untouched entities keep batch constants."""
+    before = {r["cluster_id"] for r in
+              merged["golden_before"].select_columns(["cluster_id"]).iter_rows()}
+    touched = set(merged["out"]["assignments"].to_pandas()["cluster_id"])
+    saw_updated = saw_new = False
+    for r in merged["final"].iter_rows():
+        cid = r["cluster_id"]
+        if cid in touched:
+            assert r["processing_path"] == "stream_updated"
+            saw_updated = True
+        elif cid in before:
+            assert r["processing_path"] == "batch_migrated"
+            assert r["confidence_score"] == 0.95
+        else:
+            assert r["processing_path"] == "stream"
+            assert r["confidence_score"] == 0.8
+            saw_new = True
+    assert saw_updated and saw_new

@@ -229,3 +229,20 @@ def test_hash_partition_group_completeness(ray_session):
             continue
         for k in set(blk["block_key"].to_pylist()):
             assert seen.setdefault(k, bi) == bi, f"group {k} split across blocks"
+
+
+def test_golden_record_full_field_parity(t1):
+    """A5 parity fields (bigquery_utils.py:742-757 + spanner_utils.py:226-247):
+    master_income = MAX(annual_income), first_seen = MIN(registration_date),
+    last_activity = MAX(last_activity_date), batch confidence/path constants."""
+    rows = t1["golden"].take_all()
+    assert rows
+    for r in rows:
+        member_idx = {synth.doc_customer_idx(d) for d in r["source_record_ids"]}
+        extras = [synth.base_customer(i) for i in member_idx]
+        assert r["master_income"] == max(int(e["annual_income"]) for e in extras)
+        assert r["first_seen"] == min(e["registration_date"] for e in extras)
+        assert r["last_activity"] == max(e["last_activity_date"] for e in extras)
+        assert r["confidence_score"] == 0.95
+        assert r["processing_path"] == "batch_migrated"
+        assert r["embedding"] is None  # batch migration omits it
