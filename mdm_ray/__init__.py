@@ -23,5 +23,5 @@ from .dsutil import ensure_context as _ensure_context
 
 try:
     _ensure_context()
-except Exception:  # pragma: no cover — ray.data unavailable/changed API
-    pass
+except (ImportError, AttributeError):  # pragma: no cover — ray.data absent /
+    pass                               # DataContext API changed

@@ -35,8 +35,11 @@ from .minhash import MinHasher
 from .phonetic import metaphone, soundex
 
 # 64-bit key fingerprints: the pair-dedup total order. crc32 ‖ adler32 of the
-# key string — both C-speed; collision ≈ 2^-64 per key pair, and a collision
-# can at worst drop one duplicate-emitted pair, never a unique one.
+# key string — both C-speed; collision ≈ 2^-64 per key pair. Two failure
+# modes, both negligible at that probability: colliding keys the pair SHARES
+# emit a duplicate pair; a collision between a non-shared key on one side and
+# a different key on the other can fake a "shared" minimum in
+# _min_shared_hash and DROP a unique pair.
 KEY_HASH_PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -59,6 +62,8 @@ SCORING_FIELDS = [
     "company",
     "dob_days",
     "name_soundex",
+    "annual_income",
+    "customer_id",   # only present when use_customer_id_exact inputs carry it
     "embedding",
 ]
 
@@ -115,24 +120,28 @@ class BlockKeyEmitter:
         return keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols_present = [c for c in SCORING_FIELDS if c in batch.column_names]
-        rows = batch.select(
-            [c for c in set(cols_present + ["media_refs", "name_metaphone"]) if c in batch.column_names]
-        ).to_pylist()
-        out_keys: list[str] = []
+        """Attach per-doc ``block_keys`` (list<string>) and sorted
+        ``key_hashes`` (list<uint64>) columns — computed ONCE per doc in the
+        feature stage; the per-key explode is a separate vectorized pass
+        (``explode_blocked``)."""
+        key_cols = [
+            c for c in set(
+                SCORING_FIELDS + ["media_refs", "name_metaphone", "address_clean"]
+            )
+            if c in batch.column_names
+        ]
+        rows = batch.select(key_cols).to_pylist()
+        key_lists: list[list[str]] = []
         hash_lists: list[list[int]] = []
-        take_idx: list[int] = []
-        for i, row in enumerate(rows):
-            keys = set(self.keys_for_row(row))
+        for row in rows:
+            keys = sorted(set(self.keys_for_row(row)))
+            key_lists.append(keys)
             # ascending-hash order: the dedup total order pairs.py relies on
-            hashes = sorted(key_hash(k) for k in keys)
-            for k in keys:
-                out_keys.append(k)
-                hash_lists.append(hashes)
-                take_idx.append(i)
-        taken = batch.select(cols_present).take(pa.array(take_idx, pa.int64()))
-        taken = taken.append_column("block_key", pa.array(out_keys, pa.string()))
-        return taken.append_column(
+            hash_lists.append(sorted(key_hash(k) for k in keys))
+        batch = batch.append_column(
+            "block_keys", pa.array(key_lists, pa.list_(pa.string()))
+        )
+        return batch.append_column(
             "key_hashes", pa.array(hash_lists, pa.list_(pa.uint64()))
         )
 
@@ -146,6 +155,60 @@ def oversized_blocks(blocked_ds, cap: int) -> dict[str, int]:
         lambda b: b.filter(pc.greater(b["count()"], cap)), batch_format="pyarrow"
     )
     return {r["block_key"]: r["count()"] for r in hot.take_all()}
+
+
+def hot_key_counts(keyed_features_ds, cap: int) -> dict[str, int]:
+    """Hot-key census from the per-doc ``block_keys`` column: per-batch
+    partial Counter (combiner) → groupby(key).sum — the shuffle moves one row
+    per distinct key per batch, never per doc, and only keys over ``cap``
+    reach the driver."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for keys in batch["block_keys"].to_pylist():
+            c.update(keys)
+        return pa.table(
+            {
+                "block_key": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        keyed_features_ds.select_columns(["block_keys"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("block_key")
+        .sum("cnt")
+    )
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["sum(cnt)"], cap)), batch_format="pyarrow"
+    )
+    return {r["block_key"]: r["sum(cnt)"] for r in hot.take_all()}
+
+
+def attach_block_keys(features_ds, cfg: EngineConfig = DEFAULT_CONFIG):
+    """features → features + (block_keys, key_hashes) per-doc list columns.
+    Run once, before any materialize, so the (relatively expensive) MinHash
+    signatures are computed a single time and both the hot-key census and the
+    per-key explode read the stored lists."""
+    return features_ds.map_batches(
+        functools.partial(emit_keys_batch, cfg=cfg), batch_format="pyarrow"
+    )
+
+
+def explode_blocked(keyed_features_ds):
+    """One output row per (doc, block_key): vectorized list-flatten explode
+    (no Python loop) carrying the scoring fields + key_hashes."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols_present = [c for c in SCORING_FIELDS if c in batch.column_names]
+        kl = batch["block_keys"].combine_chunks()
+        parent = pc.list_parent_indices(kl)
+        taken = batch.select(cols_present + ["key_hashes"]).take(parent)
+        return taken.append_column("block_key", pc.list_flatten(kl))
+
+    return keyed_features_ds.map_batches(explode, batch_format="pyarrow")
 
 
 def salt_batch(batch: pa.Table, hot: dict[str, int], cap: int) -> pa.Table:
@@ -202,17 +265,22 @@ def emit_keys_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.T
 
 
 def build_blocked(features_ds, cfg: EngineConfig = DEFAULT_CONFIG, skip_salting: bool = False):
-    """features Dataset -> salted (block_key, scoring-fields, chunk) Dataset."""
-    blocked = features_ds.map_batches(
-        functools.partial(emit_keys_batch, cfg=cfg), batch_format="pyarrow",
-    )
+    """features Dataset -> salted (block_key, scoring-fields, chunk) Dataset.
+
+    Fully lazy: the wide exploded table is NEVER materialized. The hot-key
+    census runs as a cheap separate pass over the per-doc ``block_keys``
+    column (callers materialize features once, so key emission is not
+    recomputed), then explode + salt stream straight into pair generation."""
+    sch = features_ds.schema()
+    if "block_keys" not in (sch.names if sch is not None else []):
+        features_ds = attach_block_keys(features_ds, cfg)
+    blocked = explode_blocked(features_ds)
     if skip_salting:
         return blocked.map_batches(
             lambda b: b.append_column("chunk", pa.array([0] * b.num_rows, pa.int32())),
             batch_format="pyarrow",
         )
-    blocked = blocked.materialize()
-    hot = oversized_blocks(blocked, cfg.max_block_size)
+    hot = hot_key_counts(features_ds, cfg.max_block_size)
     if not hot:
         return blocked.map_batches(
             lambda b: b.append_column("chunk", pa.array([0] * b.num_rows, pa.int32())),

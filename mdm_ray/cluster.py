@@ -62,8 +62,14 @@ def init_labels(docs_or_features_ds):
 
 def _min_label_block(batch: pa.Table):
     """Grouped-min over a sorted-by-node block: for each node emit
-    (node, min(label), changed) where changed = min < the node's own previous
-    label (the row with is_self=1)."""
+    (node, min(label), changed) where changed = min != the node's own previous
+    label (the row with is_self=1).
+
+    Fully vectorized: node run boundaries come from the dictionary codes
+    (first-appearance codes over a sorted column are nondecreasing), labels
+    are dictionary-encoded and ranked so the per-group min is one
+    ``np.minimum.reduceat`` over int ranks — Python-level work is O(unique
+    labels), not O(rows)."""
     import numpy as np
 
     n = batch.num_rows
@@ -75,31 +81,39 @@ def _min_label_block(batch: pa.Table):
                 "changed": pa.array([], pa.int64()),
             }
         )
-    nodes = np.asarray(batch["node"].to_pylist(), dtype=object)
-    labels = np.asarray(batch["label"].to_pylist(), dtype=object)
-    is_self = batch["is_self"].to_numpy(zero_copy_only=False)
-    change = np.nonzero(nodes[1:] != nodes[:-1])[0] + 1
-    starts = np.concatenate(([0], change))
-    stops = np.concatenate((change, [n]))
-    out_nodes, out_labels, out_changed = [], [], []
-    for s, e in zip(starts, stops):
-        grp_labels = labels[s:e]
-        mn = grp_labels.min()
-        self_rows = np.nonzero(is_self[s:e])[0]
-        old = grp_labels[self_rows[0]] if len(self_rows) else None
-        out_nodes.append(nodes[s])
-        out_labels.append(mn)
-        out_changed.append(int(old is not None and mn != old))
+    node_col = batch["node"].combine_chunks()
+    ncodes = pc.dictionary_encode(node_col).indices.to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([0], np.nonzero(np.diff(ncodes))[0] + 1))
+
+    ld = pc.dictionary_encode(batch["label"].combine_chunks())
+    lcodes = ld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ldict = ld.dictionary
+    # rank codes by dictionary VALUE order so min-rank == lexicographic min
+    sort_idx = pc.sort_indices(ldict).to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = np.empty(len(sort_idx), dtype=np.int64)
+    ranks[sort_idx] = np.arange(len(sort_idx))
+    lrank = ranks[lcodes]
+
+    min_rank = np.minimum.reduceat(lrank, starts)
+    is_self = batch["is_self"].to_numpy(zero_copy_only=False).astype(bool)
+    self_pos = np.nonzero(is_self)[0]
+    grp_of_self = np.searchsorted(starts, self_pos, side="right") - 1
+    old_rank = np.full(len(starts), -1, dtype=np.int64)
+    old_rank[grp_of_self] = lrank[self_pos]
+    changed = (old_rank >= 0) & (min_rank != old_rank)
+
+    out_labels = ldict.take(pa.array(sort_idx[min_rank], pa.int64()))
     return pa.table(
         {
-            "node": pa.array(out_nodes, pa.string()),
-            "label": pa.array(out_labels, pa.string()),
-            "changed": pa.array(out_changed, pa.int64()),
+            "node": node_col.take(pa.array(starts, pa.int64())),
+            "label": out_labels,
+            "changed": pa.array(changed.astype(np.int64), pa.int64()),
         }
     )
 
 
-def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG):
+def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG,
+                         labels_are_seed: bool = True):
     """Iterate min-label propagation to fixpoint.
 
     Per iteration (all hash-partitioned, no driver data movement):
@@ -107,6 +121,13 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
       union  = msgs ∪ labels(self-tagged)
       labels = sort(node) → grouped min    → (node, min_label, changed)
       stop when sum(changed) == 0
+
+    ``labels_are_seed=True`` (the ``init_labels`` contract: label == node and
+    every edge endpoint has a label row) enables an iteration-0 shortcut that
+    skips the first join — edges ⋈ identity-labels is the identity, so
+    neighbor labels ARE the dst ids. Pass ``False`` for warm-start/resumed
+    label inputs, where the shortcut would propagate wrong labels and edges
+    whose dst lacks a label row would inject ghost labels the join filters.
     """
     edges = edges_ds.materialize()
     if edges.count() == 0:
@@ -143,7 +164,7 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
         )
 
     for it in range(cfg.max_cc_iterations):
-        if it == 0:
+        if it == 0 and labels_are_seed:
             msgs = edges.map_batches(first_msgs, batch_format="pyarrow")
         else:
             joined = edges.join(

@@ -66,6 +66,11 @@ class EngineConfig:
 
     # scoring extensions
     use_jaro_winkler: bool = True   # north-star addition to the fuzzy name max
+    # Reference parity flag (bigquery_utils.py:324-328): exact-match on the
+    # generator-provided customer_id. Off by default — on the synthetic
+    # fixture that column IS the ground truth, so scoring on it would be
+    # leakage; a no-op when the input carries no customer_id column.
+    use_customer_id_exact: bool = False
 
     # blocking
     lsh_num_perm: int = 64

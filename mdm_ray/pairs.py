@@ -185,15 +185,6 @@ def _empty_pairs(batch: pa.Table, fields: list[str]) -> pa.Table:
     return pa.table(cols)
 
 
-def build_pairs(blocked_ds):
-    """blocked Dataset -> globally-deduped candidate-pair Dataset (both sides'
-    scoring fields inline; no further shuffle needed before scoring).
-
-    The pre-split repartition (no shuffle — local block split) sets the sort's
-    mapper/reducer count to ~2× the cluster CPUs so pair emission fans out
-    even when upstream stages produced few large blocks."""
-    from .dsutil import default_parallelism
-
 def _partition_by_key(blocked_ds):
     """Hash-partition so every key group lands whole in one block.
 

@@ -25,6 +25,7 @@ from .survivorship import build_golden
 
 
 def build_features(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = True):
+    from .blocking import attach_block_keys
     from .dsutil import ensure_context
 
     ensure_context()
@@ -32,7 +33,9 @@ def build_features(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings:
     feats = feats.map_batches(prep_scoring_columns, batch_format="pyarrow")
     if with_embeddings:
         feats = add_embeddings(feats, dim=cfg.embedding_dim)
-    return feats
+    # per-doc block keys computed here (once, before the caller's materialize)
+    # so the hot-key census and the per-key explode both read stored lists
+    return attach_block_keys(feats, cfg)
 
 
 def run_er(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = True):

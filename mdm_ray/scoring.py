@@ -8,8 +8,10 @@ here it's column arithmetic on Arrow batches).
 Strategy semantics (exact reference parity, cited per formula):
 
 * exact  — email/phone equality → 1.0, overall = GREATEST (bigquery_utils.py:312-337).
-  (The reference also matches on generator-provided ``customer_id`` — ground
-  truth leakage we deliberately do not reproduce; config flag exists.)
+  (The reference also matches on generator-provided ``customer_id``
+  (:324-328) — ground-truth leakage on the synthetic fixture, so it is
+  opt-in via ``EngineConfig.use_customer_id_exact`` and inert unless the
+  input actually carries a ``customer_id`` column.)
 * fuzzy  — name edit-distance score, Soundex-equal 0.8, token overlap,
   address edit score; name_fuzzy = max of name scores (optionally incl.
   Jaro-Winkler — north-star addition, on by default); fuzzy_overall =
@@ -56,10 +58,19 @@ def _col(batch: pa.Table, name: str, default=None):
     return [default] * batch.num_rows
 
 
-def _eq_nonnull(a: list, b: list) -> np.ndarray:
-    return np.array(
-        [x is not None and x != "" and x == y for x, y in zip(a, b)], dtype=bool
-    )
+def _acol(batch: pa.Table, name: str, typ=None):
+    if name in batch.column_names:
+        return batch[name]
+    return pa.nulls(batch.num_rows, typ or pa.string())
+
+
+def _eq_nonnull(a, b) -> np.ndarray:
+    """Vectorized ``x is not None and x != '' and x == y`` on Arrow columns
+    (null on either side → False via fill_null)."""
+    import pyarrow.compute as pc
+
+    e = pc.and_(pc.equal(a, b), pc.not_equal(a, ""))
+    return pc.fill_null(e, False).to_numpy(zero_copy_only=False)
 
 
 def _emb_matrix(col) -> tuple[np.ndarray, np.ndarray]:
@@ -94,24 +105,28 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     n = batch.num_rows
     w = cfg.weights
 
-    email1, email2 = _col(batch, "1_email_clean"), _col(batch, "2_email_clean")
-    phone1, phone2 = _col(batch, "1_phone_clean"), _col(batch, "2_phone_clean")
     name1, name2 = _col(batch, "1_full_name_clean"), _col(batch, "2_full_name_clean")
     addr1, addr2 = _col(batch, "1_address_clean"), _col(batch, "2_address_clean")
-    city1, city2 = _col(batch, "1_city_clean"), _col(batch, "2_city_clean")
-    state1, state2 = _col(batch, "1_state_clean"), _col(batch, "2_state_clean")
-    comp1, comp2 = _col(batch, "1_company"), _col(batch, "2_company")
-    sx1, sx2 = _col(batch, "1_name_soundex"), _col(batch, "2_name_soundex")
 
     # ---- exact (bigquery_utils.py:312-337) ----------------------------------
-    email_eq = _eq_nonnull(email1, email2).astype(np.float64)
-    phone_eq = _eq_nonnull(phone1, phone2).astype(np.float64)
+    email_eq = _eq_nonnull(
+        _acol(batch, "1_email_clean"), _acol(batch, "2_email_clean")
+    ).astype(np.float64)
+    phone_eq = _eq_nonnull(
+        _acol(batch, "1_phone_clean"), _acol(batch, "2_phone_clean")
+    ).astype(np.float64)
     exact = np.maximum(email_eq, phone_eq)
+    if cfg.use_customer_id_exact and "1_customer_id" in batch.column_names:
+        # reference customer_id exact leg (bigquery_utils.py:324-328);
+        # opt-in — see the config flag's leakage note
+        cid_eq = _eq_nonnull(batch["1_customer_id"], batch["2_customer_id"])
+        exact = np.maximum(exact, cid_eq.astype(np.float64))
 
     # ---- fuzzy (bigquery_utils.py:342-403) ----------------------------------
     name_edit = edit_similarity_batch(name1, name2)
     name_soundex = np.where(
-        _eq_nonnull(sx1, sx2), C.SOUNDEX_EQUAL_SCORE, 0.0
+        _eq_nonnull(_acol(batch, "1_name_soundex"), _acol(batch, "2_name_soundex")),
+        C.SOUNDEX_EQUAL_SCORE, 0.0,
     )
     name_token = token_overlap_batch(name1, name2)
     addr_edit = edit_similarity_batch(addr1, addr2)
@@ -140,26 +155,39 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         vector = np.zeros(n)
 
     # ---- business (bigquery_utils.py:428-475) -------------------------------
-    same_company = np.where(_eq_nonnull(comp1, comp2), C.SAME_COMPANY_SCORE, 0.0)
+    import pyarrow.compute as pc
+
+    same_company = np.where(
+        _eq_nonnull(_acol(batch, "1_company"), _acol(batch, "2_company")),
+        C.SAME_COMPANY_SCORE, 0.0,
+    )
     same_loc = np.where(
-        _eq_nonnull(city1, city2) & _eq_nonnull(state1, state2),
+        _eq_nonnull(_acol(batch, "1_city_clean"), _acol(batch, "2_city_clean"))
+        & _eq_nonnull(_acol(batch, "1_state_clean"), _acol(batch, "2_state_clean")),
         C.SAME_LOCATION_SCORE, 0.0,
     )
-    dob1 = _col(batch, "1_dob_days")
-    dob2 = _col(batch, "2_dob_days")
-    dob_ok = np.array(
-        [x is not None and y is not None for x, y in zip(dob1, dob2)], dtype=bool
+    dc1 = _acol(batch, "1_dob_days", pa.int32())
+    dc2 = _acol(batch, "2_dob_days", pa.int32())
+    dob_ok = (
+        pc.fill_null(pc.and_(pc.is_valid(dc1), pc.is_valid(dc2)), False)
+        .to_numpy(zero_copy_only=False)
     )
-    diff = np.array(
-        [abs(x - y) if (x is not None and y is not None) else 0 for x, y in zip(dob1, dob2)],
-        dtype=np.int64,
-    )
+    d1 = pc.fill_null(dc1, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    d2 = pc.fill_null(dc2, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    diff = np.abs(d1 - d2)
     age = np.where(
         dob_ok & (diff <= 365), C.AGE_365_SCORE,
         np.where(dob_ok & (diff <= 1825), C.AGE_1825_SCORE, 0.0),
     )
-    inc1 = np.array([x if x is not None else 0.0 for x in _col(batch, "1_annual_income")], dtype=np.float64)
-    inc2 = np.array([x if x is not None else 0.0 for x in _col(batch, "2_annual_income")], dtype=np.float64)
+
+    def _income(name: str) -> np.ndarray:
+        c = _acol(batch, name)
+        if c.type == pa.string():
+            c = pc.cast(c, pa.float64())
+        return pc.fill_null(c, 0.0).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    inc1 = _income("1_annual_income")
+    inc2 = _income("2_annual_income")
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.where(
             (inc1 > 0) & (inc2 > 0),
@@ -171,6 +199,7 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
 
     # ---- ai surrogate (5-way profile only; deterministic) -------------------
     if w.get("ai", 0.0) > 0:
+        email1, email2 = _col(batch, "1_email_clean"), _col(batch, "2_email_clean")
         email_jac = ngram_jaccard_batch(email1, email2, 3)
         ai_raw = np.round(0.5 * name_fuzzy + 0.3 * addr_edit + 0.2 * email_jac, 6)
         ai = np.where(ai_raw > 0.4, ai_raw, 0.0)  # bigquery_utils.py:539
