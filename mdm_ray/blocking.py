@@ -197,25 +197,27 @@ def attach_block_keys(features_ds, cfg: EngineConfig = DEFAULT_CONFIG):
     )
 
 
-def explode_blocked(keyed_features_ds):
+def explode_blocked(keyed_features_ds, payload_cols: list[str] | None = None):
     """One output row per (doc, block_key): vectorized list-flatten explode
-    (no Python loop) carrying the scoring fields + key_hashes."""
+    (no Python loop) carrying the payload columns (default: scoring fields)
+    + key_hashes."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        cols_present = [c for c in SCORING_FIELDS if c in batch.column_names]
+        cols = payload_cols or [c for c in SCORING_FIELDS if c in batch.column_names]
         kl = batch["block_keys"].combine_chunks()
         parent = pc.list_parent_indices(kl)
-        taken = batch.select(cols_present + ["key_hashes"]).take(parent)
+        taken = batch.select(cols + ["key_hashes"]).take(parent)
         return taken.append_column("block_key", pc.list_flatten(kl))
 
     return keyed_features_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def salt_batch(batch: pa.Table, hot: dict[str, int], cap: int) -> pa.Table:
+def salt_batch(batch: pa.Table, hot: dict[str, int], cap: int,
+               id_col: str = "doc_id") -> pa.Table:
     """Split rows of oversized blocks into chunk-pair salted groups (see module
     docstring); rows of normal blocks pass through with chunk=0, pair (0,0)."""
     keys = batch["block_key"].to_pylist()
-    doc_ids = batch["doc_id"].to_pylist()
+    doc_ids = batch[id_col].to_pylist()
     take_idx: list[int] = []
     new_keys: list[str] = []
     chunks: list[int] = []
@@ -227,7 +229,7 @@ def salt_batch(batch: pa.Table, hot: dict[str, int], cap: int) -> pa.Table:
             chunks.append(0)
             continue
         m = -(-size // cap)
-        c = zlib.crc32(d.encode()) % m
+        c = zlib.crc32(str(d).encode()) % m
         for a in range(m):
             lo, hi = min(a, c), max(a, c)
             take_idx.append(i)

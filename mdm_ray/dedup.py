@@ -1,31 +1,40 @@
 """Document deduplication operators (training-data pipeline extensions).
 
 The reference's only dedup is entity resolution itself (SURVEY.md §2.8 D5);
-a 100 TB training-data pipeline needs the standard document-dedup family, each
-built Ray-Data-first (hash-partitioned groupbys / sorted-block kernels — never
-an all-pairs join):
+a 100 TB training-data pipeline needs the standard document-dedup family,
+each built on the SAME salted-pair machinery as the ER blocker
+(blocking.py / pairs.py) — hot buckets are split into chunk-pair groups, so
+no bucket is ever silently dropped and no group is unboundedly quadratic:
 
 * exact dedup        — canonicalized-text groups, survivor = min id
-* MinHash-LSH        — shingle → signature → band-bucket groupby → verified pairs
-* SimHash            — 64-bit fingerprint band buckets → Hamming-verified pairs
-* n-gram Jaccard     — within-block true Jaccard above threshold
-* embedding cosine   — near-dup pairs above cosine threshold within blocks
+* MinHash-LSH        — signature → band buckets; the shuffle carries ONLY
+                       (id, signature, bucket keys) — never document text;
+                       text is hash-joined back for the (small) candidate
+                       set that survives the signature-estimate prefilter
+* SimHash            — 64-bit fingerprint band buckets; Hamming verification
+                       runs on the fingerprints themselves — text never
+                       enters the shuffle at all
+* n-gram Jaccard     — within explicit blocks (text rides the shuffle once —
+                       one key per doc — and ×m only for salted hot blocks)
+* embedding cosine   — salted blocked matmul kernel; emits only survivors
 
-Pair-producing ops emit canonical ``(id1 < id2)`` pairs and dedup across
-buckets with the same min-common-key trick as the ER blocker (pairs.py).
+Pair-producing ops emit canonical ``(id1 < id2)`` pairs; cross-bucket dedup
+uses the same min-common-key-fingerprint trick as the ER blocker (pairs.py).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dsutil import grouped_kernel
-from .minhash import MinHasher, minhash_jaccard_estimate
-from .simfuncs import cosine_batch, ngram_jaccard
+from .minhash import MinHasher
+from .simfuncs import ngram_jaccard_batch
 from .simhash import band_keys as simhash_band_keys
-from .simhash import hamming64, simhash_batch
+from .simhash import simhash_batch
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -58,192 +67,363 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return grouped_kernel(work, text_col, keep_first)
 
 
-class _BucketEmitter:
-    """Emit (bucket_key, id, text, buckets) rows for LSH-style ops."""
+def _attach_bucket_keys(batch: pa.Table, *, id_col: str, keys_fn,
+                        payload: dict | None = None) -> pa.Table:
+    """Per-row bucket-key lists + sorted key fingerprints (the ER blocker's
+    per-doc layout, reused so hot_key_counts / explode / salt all apply)."""
+    from .blocking import key_hash
 
-    def __init__(self, bucket_fn, id_col: str, text_col: str):
-        self.bucket_fn = bucket_fn
-        self.id_col = id_col
-        self.text_col = text_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_ids, out_texts, out_keys, out_lists = [], [], [], []
-        for i, t in zip(ids, texts):
-            keys = sorted(set(self.bucket_fn(t)))
-            for k in keys:
-                out_ids.append(i)
-                out_texts.append(t)
-                out_keys.append(k)
-                out_lists.append(keys)
-        return pa.table(
-            {
-                self.id_col: pa.array(out_ids),
-                self.text_col: pa.array(out_texts, pa.string()),
-                "bucket": pa.array(out_keys, pa.string()),
-                "buckets": pa.array(out_lists, pa.list_(pa.string())),
-            }
-        )
+    key_lists = [sorted(set(ks)) for ks in keys_fn(batch)]
+    hash_lists = [sorted(key_hash(k) for k in ks) for ks in key_lists]
+    cols = {id_col: batch[id_col]}
+    if payload:
+        cols.update(payload)
+    cols["block_keys"] = pa.array(key_lists, pa.list_(pa.string()))
+    cols["key_hashes"] = pa.array(hash_lists, pa.list_(pa.uint64()))
+    return pa.table(cols)
 
 
-def _bucket_pairs(ds, id_col: str, text_col: str, verify_fn, max_bucket: int = 2000):
-    """Pairs within buckets, deduped via min-common-bucket, verified by
-    ``verify_fn(texts_a, texts_b) -> (keep_mask, sims)``."""
+def salted_bucket_pairs(keyed_ds, id_col: str, payload_cols: list[str],
+                        cap: int):
+    """Per-doc (block_keys, key_hashes, payload) → canonical deduped candidate
+    pairs ``(1_*, 2_*)``. Hot buckets are chunk-pair salted (never dropped);
+    cross-bucket duplicates are suppressed by the min-shared-fingerprint rule.
+    Fully lazy after the (cheap) hot-key census."""
+    import ray
 
-    def kernel(batch: pa.Table, starts: np.ndarray, stops: np.ndarray) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
-        texts = batch[text_col].to_pylist()
-        blists = batch["buckets"].to_pylist()
-        buckets = np.asarray(batch["bucket"].to_pylist(), dtype=object)
-        a_out, b_out, ta, tb = [], [], [], []
-        for s, e in zip(starts, stops):
-            n = e - s
-            if n < 2 or n > max_bucket:
-                continue
-            base = buckets[s]
-            for x in range(s, e):
-                for y in range(x + 1, e):
-                    common = set(blists[x]) & set(blists[y])
-                    if min(common) != base:
-                        continue
-                    if ids[x] < ids[y]:
-                        a_out.append(ids[x]); b_out.append(ids[y])
-                        ta.append(texts[x]); tb.append(texts[y])
-                    else:
-                        a_out.append(ids[y]); b_out.append(ids[x])
-                        ta.append(texts[y]); tb.append(texts[x])
-        if not a_out:
-            return pa.table(
-                {
-                    "id1": batch[id_col].slice(0, 0),
-                    "id2": batch[id_col].slice(0, 0),
-                    "similarity": pa.array([], pa.float64()),
-                }
-            )
-        keep, sims = verify_fn(ta, tb)
-        t = pa.table(
-            {
-                "id1": pa.array(a_out),
-                "id2": pa.array(b_out),
-                "similarity": pa.array(sims, pa.float64()),
-            }
-        )
-        return t.filter(pa.array(keep))
+    from .blocking import explode_blocked, hot_key_counts, salt_batch
+    from .pairs import _partition_by_key, emit_pairs_block
 
-    return grouped_kernel(ds, "bucket", kernel)
+    # materialized so the census pass doesn't recompute signatures/keys —
+    # the stored layout is (id, small payload, key lists), never text
+    keyed_ds = keyed_ds.materialize()
+    hot = hot_key_counts(keyed_ds, cap)
+    blocked = explode_blocked(keyed_ds, payload_cols=[id_col] + payload_cols)
+    if hot:
+        hot_ref = ray.put(hot)
+
+        def apply_salt(batch: pa.Table) -> pa.Table:
+            return salt_batch(batch, ray.get(hot_ref), cap, id_col=id_col)
+
+        blocked = blocked.map_batches(apply_salt, batch_format="pyarrow")
+    return _partition_by_key(blocked).map_batches(
+        functools.partial(emit_pairs_block, id_col=id_col),
+        batch_size=None, batch_format="pyarrow",
+    )
+
+
+def _list_matrix(col, dtype) -> np.ndarray:
+    """list<fixed-width> column → [n, d] matrix (zero-copy flatten)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+    if n == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n, len(flat) // n)
 
 
 def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.7, num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 5,
-                      concurrency=(1, 8)):
-    """Near-dup pairs with estimated-then-verified Jaccard ≥ threshold."""
+                      max_bucket: int = 2000, est_slack: float = 0.3,
+                      num_partitions: int | None = None):
+    """Near-dup pairs with true k-shingle Jaccard ≥ threshold, candidates via
+    MinHash-LSH band buckets.
+
+    Scale design: the bucket shuffle carries ``(id, signature, band keys)``
+    only — ~num_perm·8 bytes per doc, never the text (a 100 TB corpus would
+    otherwise amplify its full text ×bands through the exchange). Candidates
+    are prefiltered by the signature Jaccard estimate (≥ threshold −
+    est_slack, ~5σ below threshold at num_perm=64 so the exact result is
+    unaffected), and only the surviving pairs hash-join the text back for
+    exact verification."""
+    from .dsutil import join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
     mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, bands=bands)
 
-    class Emitter(_BucketEmitter):
-        def __init__(self):
-            super().__init__(
-                lambda t: mh.band_keys(mh.signature(t)), id_col, text_col
-            )
+    def keys_fn_and_sigs(batch: pa.Table):
+        texts = batch[text_col].to_pylist()
+        sigs = [mh.signature(t) for t in texts]
+        keys = [mh.band_keys(s) for s in sigs]
+        return sigs, keys
 
-    bucketed = ds.select_columns([id_col, text_col]).map_batches(
-        Emitter, batch_format="pyarrow", concurrency=concurrency
+    def attach(batch: pa.Table) -> pa.Table:
+        sigs, keys = keys_fn_and_sigs(batch)
+        return _attach_bucket_keys(
+            batch, id_col=id_col, keys_fn=lambda b: keys,
+            payload={"_sig": pa.array([s.tolist() for s in sigs],
+                                      pa.list_(pa.uint64()))},
+        )
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+    pairs = salted_bucket_pairs(keyed, id_col, ["_sig"], max_bucket)
+
+    est_min = max(threshold - est_slack, 0.0)
+
+    def est_filter(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"id1": batch["1_" + id_col], "id2": batch["2_" + id_col]}
+        )
+        if batch.num_rows == 0:
+            return out
+        s1 = _list_matrix(batch["1__sig"], np.uint64)
+        s2 = _list_matrix(batch["2__sig"], np.uint64)
+        est = (s1 == s2).mean(axis=1)
+        return out.filter(pa.array(est >= est_min))
+
+    # repartition merges away the schema-less empty blocks the sort emits for
+    # empty ranges — Arrow hash joins reject blocks with no schema
+    cand = pairs.map_batches(est_filter, batch_format="pyarrow").repartition(
+        num_partitions
     )
 
-    def verify(ta, tb):
-        sims = [ngram_jaccard(a, b, shingle_k) for a, b in zip(ta, tb)]
-        return [s >= threshold for s in sims], sims
+    # hash-join the text back for ONLY the surviving candidates
+    texts = ds.select_columns([id_col, text_col])
 
-    return _bucket_pairs(bucketed, id_col, text_col, verify)
+    def rename(suffix):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({id_col + suffix: b[id_col], "_t" + suffix: b[text_col]})
+        return fn
+
+    t1 = texts.map_batches(rename("_a"), batch_format="pyarrow")
+    t2 = texts.map_batches(rename("_b"), batch_format="pyarrow")
+    joined = cand.join(
+        t1, join_type="inner", num_partitions=num_partitions,
+        on=("id1",), right_on=(id_col + "_a",),
+    ).join(
+        t2, join_type="inner", num_partitions=num_partitions,
+        on=("id2",), right_on=(id_col + "_b",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sims = ngram_jaccard_batch(
+            batch["_t_a"].to_pylist(), batch["_t_b"].to_pylist(), shingle_k
+        )
+        out = pa.table(
+            {
+                "id1": batch["id1"],
+                "id2": batch["id2"],
+                "similarity": pa.array(sims, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(sims >= threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# byte-popcount lookup for vectorized Hamming distance on uint64
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint8).reshape(-1, 8)
+    return _POPCOUNT8[x].sum(axis=1).astype(np.int64)
 
 
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, bands: int = 4):
-    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming."""
+                  max_hamming: int = 3, bands: int = 8,
+                  max_bucket: int = 2000):
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    def bucket_fn(t):
-        from .simhash import simhash64
-        return simhash_band_keys(simhash64(t), bands)
+    The shuffle carries ``(id, fingerprint, band keys)`` — 8 bytes of payload
+    per doc, text never enters the exchange; verification is vectorized
+    popcount on the fingerprints. Recall is exact (pigeonhole) whenever
+    ``max_hamming < bands``; pass a larger ``bands`` for large distance
+    cutoffs."""
 
-    bucketed = ds.select_columns([id_col, text_col]).map_batches(
-        _BucketEmitter(bucket_fn, id_col, text_col), batch_format="pyarrow"
+    from .simhash import tokens as _sh_tokens
+
+    def attach(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        fps = simhash_batch(texts)
+        # bucket every doc that HAS tokens (an all-zero fingerprint is still
+        # comparable); only token-less docs are excluded — matches the SQL
+        # oracle's len(tokens) > 0 predicate
+        keys = [
+            simhash_band_keys(int(f), bands) if _sh_tokens(t) else []
+            for f, t in zip(fps, texts)
+        ]
+        return _attach_bucket_keys(
+            batch, id_col=id_col, keys_fn=lambda b: keys,
+            payload={"_fp": pa.array(fps.tolist(), pa.uint64())},
+        )
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        attach, batch_format="pyarrow"
     )
+    pairs = salted_bucket_pairs(keyed, id_col, ["_fp"], max_bucket)
 
-    def verify(ta, tb):
-        fa = simhash_batch(ta)
-        fb = simhash_batch(tb)
-        dists = [hamming64(int(x), int(y)) for x, y in zip(fa, fb)]
-        return [d <= max_hamming for d in dists], [64 - d for d in dists]
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id1": batch["1_" + id_col],
+                    "id2": batch["2_" + id_col],
+                    "similarity": pa.array([], pa.float64()),
+                }
+            )
+        f1 = batch["1__fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        f2 = batch["2__fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = _hamming64_batch(f1, f2)
+        t = pa.table(
+            {
+                "id1": batch["1_" + id_col],
+                "id2": batch["2_" + id_col],
+                "similarity": pa.array((64 - d).astype(np.float64), pa.float64()),
+            }
+        )
+        return t.filter(pa.array(d <= max_hamming))
 
-    return _bucket_pairs(bucketed, id_col, text_col, verify)
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def jaccard_block_dedup(ds, block_col: str, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.5,
-                        ngram: int = 1):
+                        ngram: int = 1, max_block: int = 2000):
     """True n-gram-Jaccard pairs ≥ threshold within explicit blocks (e.g.
-    language). The n=1 case matches DuckDB's ``jaccard`` for oracle checks."""
+    language). The n=1 case matches DuckDB's ``jaccard`` for oracle checks.
 
-    def kernel(batch: pa.Table, starts, stops) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
-        texts = batch[text_col].to_pylist()
-        a_out, b_out, sims = [], [], []
-        for s, e in zip(starts, stops):
-            for x in range(s, e):
-                for y in range(x + 1, e):
-                    sim = ngram_jaccard(texts[x], texts[y], ngram)
-                    if sim >= threshold:
-                        i, j = (x, y) if ids[x] < ids[y] else (y, x)
-                        a_out.append(ids[i]); b_out.append(ids[j]); sims.append(sim)
-        return pa.table(
+    One key per doc, so text rides the shuffle exactly once (×m only for rows
+    of salted hot blocks) — and no block is unboundedly quadratic: blocks over
+    ``max_block`` are chunk-pair salted like the ER blocker."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals = batch[block_col].to_pylist()
+        keys = [[f"j:{v}"] if v is not None else [] for v in vals]
+        return _attach_bucket_keys(
+            batch, id_col=id_col, keys_fn=lambda b: keys,
+            payload={"_txt": batch[text_col]},
+        )
+
+    keyed = ds.select_columns([id_col, text_col, block_col]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+    pairs = salted_bucket_pairs(keyed, id_col, ["_txt"], max_block)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sims = ngram_jaccard_batch(
+            batch["1__txt"].to_pylist(), batch["2__txt"].to_pylist(), ngram
+        ) if batch.num_rows else np.zeros(0)
+        t = pa.table(
             {
-                "id1": pa.array(a_out) if a_out else batch[id_col].slice(0, 0),
-                "id2": pa.array(b_out) if b_out else batch[id_col].slice(0, 0),
+                "id1": batch["1_" + id_col],
+                "id2": batch["2_" + id_col],
                 "similarity": pa.array(sims, pa.float64()),
             }
         )
+        return t.filter(pa.array(sims >= threshold))
 
-    return grouped_kernel(ds.select_columns([id_col, text_col, block_col]), block_col, kernel)
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def embedding_dedup(ds, block_col: str | None, id_col: str = "vec_id",
-                    vec_col: str = "embedding", threshold: float = 0.95):
-    """Embedding-cosine near-dup pairs ≥ threshold, within blocks (or a
-    single block when block_col is None — only for modest N)."""
+                    vec_col: str = "embedding", threshold: float = 0.95,
+                    max_block: int = 4096):
+    """Embedding-cosine near-dup pairs ≥ threshold, within blocks (or one
+    global block when block_col is None). Hot blocks are chunk-pair salted
+    (``max_block`` cap — no O(n²) group ever exceeds cap² comparisons, and
+    nothing is dropped); each salted group runs ONE matmul between its two
+    chunk sides and emits only the surviving pairs — the full pair set never
+    materializes."""
+    import ray
+
+    from .blocking import hot_key_counts, salt_batch
+    from .pairs import _partition_by_key
+
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
     work = ds.select_columns(cols)
-    if block_col is None:
-        block_col = "_all"
-        work = work.map_batches(
-            lambda b: b.append_column("_all", pa.array(["x"] * b.num_rows, pa.string())),
-            batch_format="pyarrow",
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if block_col is None:
+            vals = ["_all"] * batch.num_rows
+        else:
+            vals = batch[block_col].to_pylist()
+        keys = [[f"v:{v}"] if v is not None else [] for v in vals]
+        return _attach_bucket_keys(
+            batch, id_col=id_col, keys_fn=lambda b: keys,
+            payload={"_vec": batch[vec_col]},
         )
 
-    def kernel(batch: pa.Table, starts, stops) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
-        a_out, b_out, sims = [], [], []
-        for s, e in zip(starts, stops):
-            n = e - s
-            if n < 2:
-                continue
-            mat = np.array(batch[vec_col].slice(s, n).to_pylist(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = mat / norms
-            sim = unit @ unit.T
-            xi, yi = np.nonzero(np.triu(sim >= threshold, k=1))
-            for x, y in zip(xi, yi):
-                gi, gj = ids[s + x], ids[s + y]
-                if gi > gj:
-                    gi, gj = gj, gi
-                a_out.append(gi); b_out.append(gj); sims.append(float(sim[x, y]))
-        return pa.table(
+    keyed = work.map_batches(attach, batch_format="pyarrow").materialize()
+
+    from .blocking import explode_blocked
+
+    hot = hot_key_counts(keyed, max_block)
+    blocked = explode_blocked(keyed, payload_cols=[id_col, "_vec"])
+    if hot:
+        hot_ref = ray.put(hot)
+
+        def apply_salt(batch: pa.Table) -> pa.Table:
+            return salt_batch(batch, ray.get(hot_ref), max_block, id_col=id_col)
+
+        blocked = blocked.map_batches(apply_salt, batch_format="pyarrow")
+
+    def kernel(batch: pa.Table):
+        """Per salted group: one cross/upper-triangular matmul, emit
+        survivors only (generator — large groups yield in slices)."""
+        from .dsutil import group_boundaries
+        from .pairs import _emit_group_sides
+
+        empty = pa.table(
             {
-                "id1": pa.array(a_out) if a_out else batch[id_col].slice(0, 0),
-                "id2": pa.array(b_out) if b_out else batch[id_col].slice(0, 0),
-                "similarity": pa.array(sims, pa.float64()),
+                "id1": batch[id_col].slice(0, 0) if id_col in batch.column_names
+                else pa.array([], pa.string()),
+                "id2": batch[id_col].slice(0, 0) if id_col in batch.column_names
+                else pa.array([], pa.string()),
+                "similarity": pa.array([], pa.float64()),
             }
         )
+        n = batch.num_rows
+        if n == 0:
+            yield empty
+            return
+        keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+        if n > 1 and np.any(keys[1:] < keys[:-1]):
+            order = np.argsort(keys, kind="stable")
+            batch = batch.take(pa.array(order, pa.int64()))
+            keys = keys[order]
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
+        mat = _list_matrix(batch["_vec"].combine_chunks(), np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        chunks = (
+            batch["chunk"].to_numpy(zero_copy_only=False)
+            if "chunk" in batch.column_names else None
+        )
+        starts, stops = group_boundaries(keys)
+        emitted = False
+        for s, e in zip(starts, stops):
+            left, right, within = _emit_group_sides(chunks, str(keys[s]), s, e)
+            if len(left) == 0 or len(right) == 0:
+                continue
+            sim = unit[left] @ unit[right].T
+            if within:
+                xi, yi = np.nonzero(np.triu(sim >= threshold, k=1))
+            else:
+                xi, yi = np.nonzero(sim >= threshold)
+            if not len(xi):
+                continue
+            gi = ids[left[xi]]
+            gj = ids[right[yi]]
+            swap = gi > gj
+            a = np.where(swap, gj, gi)
+            b = np.where(swap, gi, gj)
+            emitted = True
+            yield pa.table(
+                {
+                    "id1": pa.array(a.tolist()),
+                    "id2": pa.array(b.tolist()),
+                    "similarity": pa.array(sim[xi, yi], pa.float64()),
+                }
+            )
+        if not emitted:
+            yield empty
 
-    return grouped_kernel(work, block_col, kernel)
+    return _partition_by_key(blocked).map_batches(
+        kernel, batch_size=None, batch_format="pyarrow"
+    )

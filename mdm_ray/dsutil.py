@@ -37,6 +37,16 @@ def default_parallelism(multiplier: int = 2, lo: int = 16, hi: int = 512) -> int
     return max(lo, min(hi, cpus * multiplier))
 
 
+def join_partitions(hi: int = 16) -> int:
+    """Hash-join partition count: Ray's hash-shuffle join spawns one
+    aggregator actor per partition; sizing past the CPU count can deadlock a
+    small session when joins chain with other shuffles, so clamp to ~CPUs/2."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(hi, cpus // 2))
+
+
 def group_boundaries(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(starts, stops) of equal-key runs in an already-sorted key array."""
     n = len(keys)

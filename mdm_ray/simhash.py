@@ -1,25 +1,34 @@
 """SimHash (Charikar) 64-bit fingerprints for near-duplicate detection.
 
 Training-data-pipeline extension (no analogue in the reference): token-hash
-sign aggregation into a 64-bit fingerprint; near-dup candidates share one of
-four 16-bit bands (catches Hamming distance ≤ 3 pairs with high probability).
+sign aggregation into a 64-bit fingerprint; near-dup candidates share band
+keys (pigeonhole-exact recall when ``max_hamming < bands``).
+
+Token hash = first 16 hex chars of md5 — chosen because DuckDB computes the
+identical value (``('0x' || substring(md5(t), 1, 16))::UBIGINT``), which makes
+the whole operator SQL-oracle-checkable end to end. Tokenization is
+single-space split with empties dropped, matching
+``list_filter(string_split(text, ' '), x -> x <> '')``.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 
 
+def tokens(text: str | None) -> list[str]:
+    return [t for t in text.split(" ") if t] if text else []
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    toks = text.split()
+    toks = tokens(text)
     if not toks:
         return np.zeros(0, dtype=np.uint64)
-    h32 = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
-    # widen to 64 bits deterministically
-    return (h32 << np.uint64(32)) | np.array(
-        [zlib.crc32((t + "#").encode("utf-8")) for t in toks], dtype=np.uint64
+    return np.array(
+        [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in toks],
+        dtype=np.uint64,
     )
 
 

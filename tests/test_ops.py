@@ -222,3 +222,82 @@ def test_frame_sampler(ray_session):
     ).take_all()
     assert len(out) == 8
     assert all(len(r["payload"]) > 0 for r in out)
+
+
+def _bruteforce_pairs(rows, sim_fn, threshold):
+    ids = sorted(r["doc_id"] for r in rows)
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sim_fn(by_id[ids[i]], by_id[ids[j]]) >= threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_minhash_dedup_matches_bruteforce_and_salting(text_ds):
+    """LSH output == brute-force true-Jaccard pairs (recall is exact at the
+    fixture's similarity levels with 32×2 LSH), and a tiny bucket cap (heavy
+    salting) must not change the pair set — no silent drops."""
+    from mdm_ray.simfuncs import ngram_jaccard
+
+    rows = text_ds.take_all()
+    expected = _bruteforce_pairs(rows, lambda a, b: ngram_jaccard(a, b, 3), 0.5)
+    base = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_dedup(text_ds, threshold=0.5, shingle_k=3,
+                                   num_perm=64, bands=32).take_all()
+    }
+    assert base == expected
+    salted = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_dedup(text_ds, threshold=0.5, shingle_k=3,
+                                   num_perm=64, bands=32,
+                                   max_bucket=2).take_all()
+    }
+    assert salted == expected
+
+
+def test_simhash_dedup_matches_bruteforce(text_ds):
+    """bands > max_hamming → pigeonhole-exact recall: LSH output equals the
+    brute-force Hamming-distance pairs, with and without salting."""
+    from mdm_ray.simhash import hamming64, simhash64
+
+    rows = text_ds.take_all()
+    expected = _bruteforce_pairs(
+        rows, lambda a, b: 64 - hamming64(simhash64(a), simhash64(b)), 64 - 6
+    )
+    for cap in (2000, 2):
+        got = {
+            (r["id1"], r["id2"])
+            for r in simhash_dedup(text_ds, max_hamming=6, bands=8,
+                                   max_bucket=cap).take_all()
+        }
+        assert got == expected, f"cap={cap}"
+
+
+def test_jaccard_block_dedup_salting_equivalence(text_ds):
+    """Block cap salting must not change jaccard_block_dedup output."""
+    plain = {
+        (r["id1"], r["id2"])
+        for r in jaccard_block_dedup(text_ds, "lang", threshold=0.9).take_all()
+    }
+    salted = {
+        (r["id1"], r["id2"])
+        for r in jaccard_block_dedup(text_ds, "lang", threshold=0.9,
+                                     max_block=3).take_all()
+    }
+    assert plain == salted and plain
+
+
+def test_embedding_dedup_salting_equivalence(vec_ds):
+    plain = {
+        (r["id1"], r["id2"])
+        for r in embedding_dedup(vec_ds, "label", threshold=0.999).take_all()
+    }
+    salted = {
+        (r["id1"], r["id2"])
+        for r in embedding_dedup(vec_ds, "label", threshold=0.999,
+                                 max_block=4).take_all()
+    }
+    assert plain == salted and plain
