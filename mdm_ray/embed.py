@@ -64,8 +64,8 @@ class HashingEmbedder:
         mat = np.stack([self.embed_one(t) for t in texts]) if texts else np.zeros((0, self.dim), np.float32)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(mat.ravel(), pa.float32()), self.dim
-        )
-        return batch.append_column(self.column, pa.array(col.to_pylist(), pa.list_(pa.float32())))
+        ).cast(pa.list_(pa.float32()))  # zero-copy re-type, no Python round-trip
+        return batch.append_column(self.column, col)
 
 
 import functools

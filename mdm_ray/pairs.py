@@ -57,18 +57,28 @@ def _padded_key_matrix(batch: pa.Table) -> np.ndarray:
 def _min_shared_hash(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Per pair, the minimum fingerprint present in both rows (PAD if none).
 
-    A, B: [P, m] uint64 padded. One vectorized membership sweep per key slot
-    (m ≈ 20), O(P·m²) compares but only O(P·m) memory.
-    """
+    A, B: [P, m] uint64 padded, rows sorted ascending — so scanning A's
+    columns left to right, the FIRST value also present in B is the minimum
+    shared one, and resolved pairs drop out of later sweeps (early exit).
+    O(P·m) expected when most pairs share an early key; O(P·m²) worst case,
+    O(P·m) memory."""
     P, m = A.shape
     out = np.full(P, KEY_HASH_PAD, dtype=np.uint64)
+    unresolved = np.arange(P, dtype=np.int64)
     for c in range(m):
-        val = A[:, c]
+        val = A[unresolved, c]
         live = val != KEY_HASH_PAD
         if not live.any():
             break
-        hit = (B == val[:, None]).any(axis=1) & live
-        np.minimum(out, np.where(hit, val, KEY_HASH_PAD), out=out)
+        rows = unresolved[live]
+        vals = val[live]
+        hit = (B[rows] == vals[:, None]).any(axis=1)
+        out[rows[hit]] = vals[hit]
+        keep = live.copy()               # padded-out rows never resolve
+        keep[np.nonzero(live)[0][hit]] = False  # resolved rows drop out
+        unresolved = unresolved[keep]
+        if not len(unresolved):
+            break
     return out
 
 

@@ -439,14 +439,12 @@ def q_cluster_cc(sf_dir: str):
 
     pairs = q_fuzzy_pairs(sf_dir)
 
-    def pad(arr) -> pa.Array:
-        # zero-pad so lexicographic min-label == numeric min (CC labels are strings)
-        return pc.utf8_lpad(pc.cast(arr, pa.string()), width=12, padding="0")
-
+    # CC is label-type-agnostic (grouped-min via value-ranked dictionary
+    # codes), so nodes ride as raw int64 — no string padding, cheap exchanges
     def to_edges(b: pa.Table) -> pa.Table:
         kept = b.filter(pc.greater_equal(b["name_edit_sim"], CC_EDGE_THRESHOLD))
-        s1 = pad(kept["partkey1"]).combine_chunks()
-        s2 = pad(kept["partkey2"]).combine_chunks()
+        s1 = kept["partkey1"].combine_chunks()
+        s2 = kept["partkey2"].combine_chunks()
         return pa.table(
             {
                 "src": pa.concat_arrays([s1, s2]),
@@ -456,7 +454,7 @@ def q_cluster_cc(sf_dir: str):
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     nodes = _read(sf_dir, "part").select_columns(["p_partkey"]).map_batches(
-        lambda b: pa.table({"doc_id": pad(b["p_partkey"])}),
+        lambda b: pa.table({"doc_id": b["p_partkey"]}),
         batch_format="pyarrow",
     )
     labels = connected_components(edges, init_labels(nodes), EngineConfig(cc_num_partitions=8))
@@ -752,19 +750,23 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {E
 """
 
 
-MINHASH_THRESHOLD = 0.35  # fixture near-dups are ≥0.9; background tops at ~0.31
+MINHASH_THRESHOLD = 0.9  # the near-dup tier LSH can catch with P(miss)≈3e-8
 
 
 def q_dedup_minhash(sf_dir: str):
     """Global MinHash-LSH near-dup pairs, exact-verified at 5-shingle Jaccard
-    ≥ 0.35. With 32 bands × 2 rows the LSH candidate probability at the
-    fixture's near-dup similarities (≥0.9) is 1 − 1e-20, so the output equals
-    the brute-force oracle exactly."""
+    ≥ 0.9. 16 bands × 4 rows: candidate probability at ≥0.9 similarity is
+    1 − 3e-8 per pair (deterministic given the seed — oracle equality
+    verifies no pair is missed), while background pairs (J ≈ 0.25) collide
+    rarely (s⁴ ≈ 0.004/band). A threshold much below ~0.85 would need more
+    bands/rows for exact recall — the operator takes num_perm/bands
+    parameters for that; the signature-estimate prefilter (est ≥ t − 0.3)
+    prunes the background candidates before the text join either way."""
     from .dedup import minhash_lsh_dedup
 
     pairs = minhash_lsh_dedup(
         _read(sf_dir, "documents"), "doc_id", "text",
-        threshold=MINHASH_THRESHOLD, shingle_k=5, num_perm=64, bands=32,
+        threshold=MINHASH_THRESHOLD, shingle_k=5, num_perm=64, bands=16,
     )
     return pairs.map_batches(
         lambda b: pa.table(

@@ -301,3 +301,25 @@ def test_embedding_dedup_salting_equivalence(vec_ds):
                                  max_block=4).take_all()
     }
     assert plain == salted and plain
+
+
+def test_embedder_actor_pool_form(ray_session):
+    """The real-model plug point: map_batches(Cls, concurrency=(k, n)) actor
+    pool must produce byte-identical embeddings to the stateless-task form."""
+    import ray.data
+
+    from mdm_ray.embed import add_embeddings
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(64)], pa.string()),
+            "full_name_clean": pa.array([f"PERSON {i}" for i in range(64)], pa.string()),
+            "email_clean": pa.array([f"p{i}@x.com" for i in range(64)], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    task_form = add_embeddings(ds, dim=16).to_pandas().sort_values("doc_id")
+    actor_form = add_embeddings(ds, dim=16, concurrency=(1, 2), batch_size=16) \
+        .to_pandas().sort_values("doc_id")
+    for a, b in zip(task_form["embedding"], actor_form["embedding"]):
+        assert (np.asarray(a) == np.asarray(b)).all()
