@@ -27,17 +27,29 @@ import numpy as np
 _MAX_LEV_LEN = 64  # truncation guard for the DP sweep (names/addresses are short)
 
 
-def _encode_padded(strings: list[str | None], max_len: int) -> tuple[np.ndarray, np.ndarray]:
-    """Return (codes[N, L] int32 padded with -1, lengths[N] int32)."""
+def _encode_padded(strings: list[str | None], max_len: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """Return (codes[N, L] int32 padded with -1, lengths[N] int32).
+
+    ONE join + ONE utf-32 encode + ONE frombuffer for the whole batch, then a
+    vectorized scatter — the per-string encode/astype loop was the scorer's
+    single hottest line. ``max_len=None`` disables truncation."""
     n = len(strings)
-    lens = np.zeros(n, dtype=np.int32)
-    codes = np.full((n, max_len), -1, dtype=np.int32)
-    for k, s in enumerate(strings):
-        if not s:
-            continue
-        s = s[:max_len]
-        lens[k] = len(s)
-        codes[k, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    if max_len is None:
+        trunc = [s if s else "" for s in strings]
+    else:
+        trunc = [(s[:max_len] if s else "") for s in strings]
+    lens = np.fromiter((len(s) for s in trunc), dtype=np.int32, count=n)
+    width = max(int(lens.max()) if n else 0, 1)
+    codes = np.full((n, width), -1, dtype=np.int32)
+    total = int(lens.sum())
+    if total:
+        flat = np.frombuffer(
+            "".join(trunc).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int32)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)[:-1]))
+        cols = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+        codes[rows, cols] = flat
     return codes, lens
 
 
@@ -61,22 +73,26 @@ def levenshtein_batch(a: list[str | None], b: list[str | None], max_len: int = _
     done = la == 0
     result[done] = lb[done]
 
-    prev = np.broadcast_to(np.arange(lb_max + 1, dtype=np.int32), (n, lb_max + 1)).copy()
+    # int16 DP state: distances are bounded by max_len (≤ 64 by default, and
+    # always < 2^15) — half the memory traffic of int32 sweeps
+    prev = np.broadcast_to(np.arange(lb_max + 1, dtype=np.int16), (n, lb_max + 1)).copy()
     cur = np.empty_like(prev)
+    j_idx = np.arange(lb_max, dtype=np.int16)[None, :]
+    j_idx1 = np.arange(1, lb_max + 1, dtype=np.int16)[None, :]
     for i in range(1, la_max + 1):
         cur[:, 0] = i
         ai = ca[:, i - 1][:, None]          # [N,1]
-        sub_cost = (cb[:, :lb_max] != ai).astype(np.int32)  # [N, lb_max]
+        sub_cost = (cb[:, :lb_max] != ai).astype(np.int16)  # [N, lb_max]
         # deletion / substitution are per-j independent; insertion is a scan
         del_sub = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub_cost)
         # insertion: cur[:, j] = min(del_sub[:, j-1], cur[:, j-1] + 1)
         # running-min scan: cur[j] = min over k<=j of (del_sub[k] + (j-k))
         # computed via prefix-min of (del_sub - j_index) + j_index
-        shifted = del_sub - np.arange(lb_max, dtype=np.int32)[None, :]
+        shifted = del_sub - j_idx
         np.minimum.accumulate(shifted, axis=1, out=shifted)
-        cur[:, 1:] = shifted + np.arange(lb_max, dtype=np.int32)[None, :]
+        cur[:, 1:] = shifted + j_idx
         # also allow path through cur[:,0] + j (all-insertions after i deletions)
-        cur[:, 1:] = np.minimum(cur[:, 1:], cur[:, 0][:, None] + np.arange(1, lb_max + 1, dtype=np.int32)[None, :])
+        np.minimum(cur[:, 1:], cur[:, 0][:, None] + j_idx1, out=cur[:, 1:])
         hit = (~done) & (la == i)
         if hit.any():
             result[hit] = cur[hit, lb[hit]]
@@ -176,16 +192,81 @@ def jaro_winkler(s1: str | None, s2: str | None, prefix_weight: float = 0.1,
     return j
 
 
-def jaro_winkler_batch(a: list[str | None], b: list[str | None]) -> np.ndarray:
-    return np.array([jaro_winkler(x, y) for x, y in zip(a, b)], dtype=np.float64)
+def jaro_winkler_batch(a: list[str | None], b: list[str | None],
+                       prefix_weight: float = 0.1,
+                       boost_threshold: float = 0.7) -> np.ndarray:
+    """Vectorized Jaro-Winkler over all pairs at once (no truncation —
+    validated against DuckDB's jaro_winkler_similarity in tests).
+
+    The greedy match loop runs over a's character POSITIONS (≤ longest
+    string), each step a [N, L2] boolean sweep; the per-pair Python loop was
+    the scorer's #2 hot spot."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    ca, la = _encode_padded(a, None)
+    cb, lb = _encode_padded(b, None)
+    valid = (la > 0) & (lb > 0)
+    if not valid.any():
+        return out
+
+    L1, L2 = ca.shape[1], cb.shape[1]
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0).astype(np.int64)
+    m1 = np.zeros((n, L1), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    jcol = np.arange(L2, dtype=np.int64)[None, :]
+    for i in range(L1):
+        active = valid & (i < la)
+        if not active.any():
+            break
+        lo = (i - window)[:, None]
+        hi = np.minimum(lb, i + window + 1)[:, None]
+        cand = (cb == ca[:, i][:, None]) & ~m2 & (jcol >= lo) & (jcol < hi) \
+            & active[:, None]
+        hitrows = np.nonzero(cand.any(axis=1))[0]
+        if len(hitrows):
+            j = cand[hitrows].argmax(axis=1)   # first eligible j (greedy)
+            m1[hitrows, i] = True
+            m2[hitrows, j] = True
+
+    matches = m1.sum(axis=1)
+
+    def compact(codes: np.ndarray, m: np.ndarray) -> np.ndarray:
+        """Matched chars in original order, left-compacted, -1 padded."""
+        order = np.argsort(~m, axis=1, kind="stable")
+        gathered = np.take_along_axis(codes, order, axis=1)
+        width = codes.shape[1]
+        mask = np.arange(width)[None, :] < m.sum(axis=1)[:, None]
+        return np.where(mask, gathered, -1)
+
+    am = compact(ca, m1)
+    bm = compact(cb, m2)
+    k = min(am.shape[1], bm.shape[1])
+    trans = ((am[:, :k] != bm[:, :k]) & (am[:, :k] != -1)).sum(axis=1) // 2
+
+    has = valid & (matches > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mf = matches.astype(np.float64)
+        j_sim = (mf / la + mf / lb + (mf - trans) / mf) / 3.0
+    out[has] = j_sim[has]
+
+    # Winkler prefix boost (prefix ≤ 4, applied when jaro > threshold)
+    p = min(4, L1, L2)
+    if p:
+        eq = (ca[:, :p] == cb[:, :p]) & (ca[:, :p] != -1)
+        prefix = np.cumprod(eq, axis=1).sum(axis=1)
+        boost = has & (out > boost_threshold)
+        out[boost] += prefix[boost] * prefix_weight * (1.0 - out[boost])
+    return out
 
 
 # ---- vector / set similarity -------------------------------------------------
 
 def cosine_batch(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Rowwise cosine similarity of two [N, D] float matrices (0.0 on zero norm)."""
-    nu = np.linalg.norm(u, axis=1)
-    nv = np.linalg.norm(v, axis=1)
+    nu = np.sqrt(np.einsum("ij,ij->i", u, u))
+    nv = np.sqrt(np.einsum("ij,ij->i", v, v))
     denom = nu * nv
     dots = np.einsum("ij,ij->i", u, v)
     with np.errstate(invalid="ignore", divide="ignore"):
