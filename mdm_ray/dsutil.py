@@ -58,6 +58,50 @@ def group_boundaries(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, stops
 
 
+def zip_with_index(ds, col: str = "row_number", start: int = 1):
+    """Attach a global, order-preserving row number to a Dataset (the classic
+    ``zipWithIndex`` operator Ray Data lacks; used for O1 presentation
+    ranking — reference ``batch_mdm_gcp/bigquery_utils.py:807`` ORDER BY).
+
+    Scale-safe: the driver pulls only per-block row COUNTS (metadata — one
+    int per block); block payloads stay in the object store and are numbered
+    in place by per-block tasks. The input is materialized (numbering is a
+    global property, so every upstream block must exist), which callers of a
+    final presentation step do anyway.
+    """
+    import ray
+    import ray.data
+
+    mat = ds.materialize()
+    refs: list = []
+    counts: list[int] = []
+    unknown: list[int] = []  # positions whose metadata lacks num_rows
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None:
+                unknown.append(len(refs))
+            refs.append(ref)
+            counts.append(meta.num_rows or 0)
+    if unknown:
+        @ray.remote
+        def _nrows(block) -> int:
+            return block.num_rows
+
+        got = ray.get([_nrows.remote(refs[i]) for i in unknown])
+        for i, n in zip(unknown, got):
+            counts[i] = n
+    offsets = start + np.concatenate(([0], np.cumsum(counts, dtype=np.int64)[:-1]))
+
+    @ray.remote
+    def _attach(block: pa.Table, off: int) -> pa.Table:
+        idx = pa.array(np.arange(off, off + block.num_rows, dtype=np.int64))
+        return block.append_column(col, idx)
+
+    return ray.data.from_arrow_refs(
+        [_attach.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
 def grouped_kernel(ds, key: str, fn: Callable[[pa.Table, np.ndarray, np.ndarray], pa.Table]):
     """sort(key) + one vectorized kernel per block over ALL its groups.
 

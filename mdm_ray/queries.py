@@ -1076,6 +1076,138 @@ SELECT doc_id, lang FROM (
 
 
 # ---------------------------------------------------------------------------
+# End-to-end ER over a real parquet table — full SQL oracle incl. O1 ordering
+# ---------------------------------------------------------------------------
+
+E2E_EDGE_THRESHOLD = 0.85  # lev<=2 on the fixed-width customer names
+
+
+def q_er_e2e(sf_dir: str):
+    """The engine's ER machinery composed end-to-end over ``customer``:
+    block → fuzzy pair scoring → connected components → survivorship →
+    O1 presentation ordering (reference ``bigquery_utils.py:807`` ORDER BY
+    source_record_count DESC, master_name), with the rank exposed as a
+    ``presentation_rank`` column (``zip_with_index``) so the order-insensitive
+    oracle compare still verifies the ordering exactly."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .cluster import connected_components, init_labels
+    from .config import EngineConfig
+    from .dsutil import zip_with_index
+
+    ds = _add_block_key(
+        _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
+        ),
+        ["c_nationkey", "c_mktsegment"],
+    )
+
+    def score(batch, ii, jj):
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        names = batch["c_name"].to_pylist()
+        sim = _round(edit_similarity_batch([names[i] for i in ii],
+                                           [names[j] for j in jj]))
+        keep = sim >= E2E_EDGE_THRESHOLD
+        a = np.minimum(keys[ii], keys[jj])[keep]
+        b_ = np.maximum(keys[ii], keys[jj])[keep]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b_]), pa.int64()),
+                "dst": pa.array(np.concatenate([b_, a]), pa.int64()),
+            }
+        )
+
+    def empty(batch, *_):
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+
+    edges = grouped_kernel(ds, "_bk", _pair_kernel(score, empty))
+    nodes = ds.map_batches(
+        lambda b: pa.table({"doc_id": b["c_custkey"]}), batch_format="pyarrow"
+    )
+    labels = connected_components(
+        edges, init_labels(nodes), EngineConfig(cc_num_partitions=8)
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_custkey": pc.cast(b["node"], pa.int64()),
+                "cluster_id": pc.cast(b["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rank(b: pa.Table) -> pa.Table:
+        comp = [f"{len(x):04d}|{x}" for x in b["c_name"].to_pylist()]
+        return b.append_column("_name_rank", pa.array(comp, pa.string()))
+
+    golden = (
+        ds.drop_columns(["_bk"])
+        .map_batches(rank, batch_format="pyarrow")
+        .join(labels, join_type="inner", num_partitions=8,
+              on=("c_custkey",), right_on=("l_custkey",))
+        .groupby("cluster_id")
+        .aggregate(Count(), Max("_name_rank"), Max("c_acctbal"), Min("c_custkey"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        names = [x.split("|", 1)[1] for x in b["max(_name_rank)"].to_pylist()]
+        return pa.table(
+            {
+                "cluster_id": b["cluster_id"],
+                "master_name": pa.array(names, pa.string()),
+                "master_acctbal": pa.array(
+                    _round(b["max(c_acctbal)"].to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+                "source_record_count": b["count()"],
+                "min_custkey": b["min(c_custkey)"],
+            }
+        )
+
+    ordered = golden.map_batches(finalize, batch_format="pyarrow").sort(
+        ["source_record_count", "master_name", "cluster_id"],
+        descending=[True, False, False],
+    )
+    return zip_with_index(ordered, col="presentation_rank")
+
+
+SQL_ER_E2E = f"""
+WITH RECURSIVE edges AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE round(1.0 - levenshtein(a.c_name, b.c_name)::DOUBLE /
+        greatest(length(a.c_name), length(b.c_name)), 6) >= {E2E_EDGE_THRESHOLD}
+),
+bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(src, dst) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+),
+labels AS (SELECT src AS c_custkey, min(dst) AS cluster_id FROM reach GROUP BY src),
+golden AS (
+  SELECT l.cluster_id,
+         split_part(max(lpad(length(c_name)::VARCHAR, 4, '0') || '|' || c_name),
+                    '|', 2) AS master_name,
+         round(max(c_acctbal), 6) AS master_acctbal,
+         count(*) AS source_record_count,
+         min(c.c_custkey) AS min_custkey
+  FROM customer c JOIN labels l ON c.c_custkey = l.c_custkey
+  GROUP BY l.cluster_id
+)
+SELECT cluster_id, master_name, master_acctbal, source_record_count, min_custkey,
+       row_number() OVER (
+         ORDER BY source_record_count DESC, master_name, cluster_id
+       ) AS presentation_rank
+FROM golden
+"""
+
+
+# ---------------------------------------------------------------------------
 # ER-fixture pipelines (rows-only checks: input corpus is synthesized)
 # ---------------------------------------------------------------------------
 
@@ -1213,6 +1345,7 @@ QUERIES = {
     "analytics_agg": q_analytics_agg,
     "sample_agg": q_sample_agg,
     "random_sample": q_random_sample,
+    "er_e2e": q_er_e2e,
     "er_golden": q_er_golden,
     "er_resolved": q_er_resolved,
     "er_incremental": q_er_incremental,
@@ -1241,6 +1374,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "random_sample": SQL_RANDOM_SAMPLE,
+    "er_e2e": SQL_ER_E2E,
     "token_count": SQL_TOKEN_COUNT,
     "quality_scores": SQL_QUALITY,
     "analytics_agg": SQL_ANALYTICS_AGG,

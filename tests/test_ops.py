@@ -323,3 +323,19 @@ def test_embedder_actor_pool_form(ray_session):
         .to_pandas().sort_values("doc_id")
     for a, b in zip(task_form["embedding"], actor_form["embedding"]):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_zip_with_index_block_order(ray_session):
+    """zip_with_index numbers rows in block order (post-sort = sorted order)
+    without pulling block payloads to the driver."""
+    import ray.data
+
+    from mdm_ray.dsutil import zip_with_index
+
+    tbl = pa.table({"k": pa.array(list(range(100, 0, -1)), pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(7).sort("k", descending=True)
+    out = zip_with_index(ds, col="rank").to_pandas()
+    assert len(out) == 100
+    assert out["rank"].tolist() == sorted(out["rank"].tolist())
+    ordered = out.sort_values("rank")
+    assert ordered["k"].tolist() == list(range(100, 0, -1))
