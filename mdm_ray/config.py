@@ -90,6 +90,14 @@ class EngineConfig:
     # clustering
     max_cc_iterations: int = 50
     cc_num_partitions: int = 16
+    # Delta-propagation switch: when an iteration changes fewer labels than
+    # this cap, the next iteration broadcasts the changed (node, label) set
+    # (ray.put) and applies it with two cheap map passes instead of the full
+    # join + sort exchange. Bounded driver memory (cap × ~100 B); larger
+    # frontiers keep the distributed path. ER duplicate graphs converge to a
+    # tiny frontier after one pass, so iterations 2+ cost ~0.5 s instead of
+    # a full shuffle round.
+    cc_frontier_broadcast_cap: int = 100_000
 
     def __post_init__(self) -> None:
         if self.weight_profile == "5way":

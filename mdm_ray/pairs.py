@@ -137,16 +137,39 @@ def _emit_group_sides(
     return idx[c == i_chunk], idx[c == j_chunk], False
 
 
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached upper-triangular index pairs — group sizes repeat heavily, so
+    the per-group ``np.triu_indices`` call (the former per-group hot spot)
+    amortizes to a dict lookup."""
+    got = _TRIU_CACHE.get(n)
+    if got is None:
+        ii, jj = np.triu_indices(n, k=1)
+        got = (ii.astype(np.int64), jj.astype(np.int64))
+        if len(_TRIU_CACHE) < 4096:
+            _TRIU_CACHE[n] = got
+    return got
+
+
 def emit_pairs_block(batch: pa.Table, id_col: str = "doc_id") -> Iterator[pa.Table]:
     """map_batches generator kernel over a block holding complete key groups
     (hash-partitioned or globally sorted — locally sorts by key either way).
     Payload = every non-bookkeeping column (the ER path projects to
-    SCORING_FIELDS upstream; other callers pass their own payloads)."""
+    SCORING_FIELDS upstream; other callers pass their own payloads).
+
+    The per-group work is O(1) Python (cached triu lookup + appends); the
+    dedup sweep (`_min_shared_hash`) and the payload gather run ONCE per
+    ~``_DEDUP_CHUNK`` raw pairs across ALL groups — small groups (the common
+    case) never pay a per-group NumPy dispatch."""
     fields = [f for f in batch.column_names if f not in _META_COLS]
     n = batch.num_rows
     if n == 0:
         yield _empty_pairs(batch, fields)
         return
+    if batch["block_key"].num_chunks > 1:  # multi-chunk blocks slow every take/scan
+        batch = batch.combine_chunks()
     keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
     if n > 1 and np.any(keys[1:] < keys[:-1]):  # local sort for hash-partitioned input
         order = np.argsort(keys, kind="stable")
@@ -185,28 +208,56 @@ def emit_pairs_block(batch: pa.Table, id_col: str = "doc_id") -> Iterator[pa.Tab
             cols["2_" + f] = right[f]
         return pa.table(cols)
 
-    for s, e, in zip(starts, stops):
+    # phase 1: raw pair indices + per-group base hash, O(1) Python per group
+    raw_ii: list[np.ndarray] = []
+    raw_jj: list[np.ndarray] = []
+    base_hashes: list[int] = []
+    counts: list[int] = []
+    for s, e in zip(starts, stops):
         if e - s < 2:
             continue
-        ii, jj, base = _emit_group(chunks, str(keys[s]), s, e)
+        key = str(keys[s])
+        if "#" not in key:  # unsalted group (the common case): cached triu
+            ti, tj = _triu(e - s)
+            ii, jj = ti + s, tj + s
+            base = key
+        else:
+            ii, jj, base = _emit_group(chunks, key, s, e)
         if len(ii) == 0:
             continue
-        base_hash = np.uint64(key_hash(base))
-        # canonical-key dedup: keep pair only if `base` is the minimum-
-        # fingerprint key both docs share (chunked, vectorized)
-        for lo in range(0, len(ii), _DEDUP_CHUNK):
-            ci = ii[lo: lo + _DEDUP_CHUNK]
-            cj = jj[lo: lo + _DEDUP_CHUNK]
-            keep = _min_shared_hash(K[ci], K[cj]) == base_hash
-            if not keep.any():
-                continue
-            pend_ii.append(ci[keep])
-            pend_jj.append(cj[keep])
-            pending += int(keep.sum())
-            if pending >= MAX_PAIRS_PER_CHUNK:
-                emitted_any = True
-                pending = 0
-                yield flush()
+        raw_ii.append(ii)
+        raw_jj.append(jj)
+        base_hashes.append(key_hash(base))
+        counts.append(len(ii))
+    if not raw_ii:
+        yield _empty_pairs(batch, fields)
+        return
+    II = np.concatenate(raw_ii)
+    JJ = np.concatenate(raw_jj)
+    BH = np.repeat(np.array(base_hashes, dtype=np.uint64),
+                   np.array(counts, dtype=np.int64))
+
+    # phase 2: ONE chunked canonical-key dedup sweep over all raw pairs:
+    # keep a pair only where its group's key is the minimum fingerprint the
+    # two docs share, so a pair discovered under several keys materializes
+    # exactly once (no shuffle needed). Sweep chunk == flush chunk so the
+    # yielded pair tables stay ~MAX_PAIRS_PER_CHUNK — downstream scoring
+    # batches must fit in cache (bigger chunks thrash the DP temporaries
+    # under full-width parallelism).
+    step = MAX_PAIRS_PER_CHUNK
+    for lo in range(0, len(II), step):
+        ci = II[lo: lo + step]
+        cj = JJ[lo: lo + step]
+        keep = _min_shared_hash(K[ci], K[cj]) == BH[lo: lo + step]
+        if not keep.any():
+            continue
+        pend_ii.append(ci[keep])
+        pend_jj.append(cj[keep])
+        pending += int(keep.sum())
+        if pending >= MAX_PAIRS_PER_CHUNK:
+            emitted_any = True
+            pending = 0
+            yield flush()
     if pending:
         emitted_any = True
         yield flush()
