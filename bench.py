@@ -6,10 +6,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
 "num_cpus": N}``.
 
-``--scaling``: run the ER pipeline twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 over the same input and report both throughputs
-plus scaling efficiency = (pps_32 / pps_8) / 4 — the in-sandbox evidence for
-the two-cluster-size criterion (BASELINE.md).
+``--scaling``: run the ER pipeline in FRESH subprocesses at num_cpus=N and
+4N (default 4 and 16) over the same input, as ``--rounds`` interleaved
+N/4N pairs, and report the MEDIAN per-round scaling efficiency
+(= (pps_4N / pps_N) / 4) — the in-sandbox evidence for the two-cluster-size
+criterion (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -48,18 +49,14 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     feats = pipeline.build_features(docs, cfg).materialize()
     n_docs = feats.count()
     t_feat = time.time()
-    # block → pair → score in ONE streaming execution: the wide pair table is
-    # never materialized (it spills at scale); the scored table is ~10×
-    # narrower and carries every candidate (retain filter applied after, so
-    # the bench still reports the true candidate count)
+    # block → pair → score in ONE streaming execution — the PRODUCTION path
+    # (retain filter + cheap-leg bound prefilter active, exactly what run_er
+    # executes): the wide pair table is never materialized; every candidate
+    # pair is evaluated (bound test or full kernels — output-identical to
+    # full scoring, see test_retain_prefilter_output_identical)
     from mdm_ray.pairs import build_scored
-    from mdm_ray.scoring import retain_scored
 
-    scored_all = build_scored(
-        build_blocked(feats, cfg), cfg, retain_filter=False
-    ).materialize()
-    candidates = scored_all.count()
-    scored = retain_scored(scored_all).materialize()
+    scored = build_scored(build_blocked(feats, cfg), cfg).materialize()
     retained = scored.count()
     t_score = time.time()
     from mdm_ray.cluster import build_edges, connected_components, init_labels
@@ -70,6 +67,21 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     clusters = golden.count()
     t_end = time.time()
     wall = t_end - t0
+    # candidate count (UNtimed bookkeeping pass): emission only, no scoring —
+    # the timed scoring stage evaluated every one of these pairs
+    import pyarrow as pa
+
+    from mdm_ray.pairs import _partition_by_key, emit_pairs_block
+
+    def count_pairs(b: pa.Table) -> pa.Table:
+        total = sum(c.num_rows for c in emit_pairs_block(b))
+        return pa.table({"n": pa.array([total], pa.int64())})
+
+    candidates = int(
+        _partition_by_key(build_blocked(feats, cfg))
+        .map_batches(count_pairs, batch_size=None, batch_format="pyarrow")
+        .sum("n")
+    )
     return {
         "docs": n_docs,
         "candidate_pairs": candidates,
@@ -120,6 +132,9 @@ def main() -> int:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--repeat", type=int, default=1,
                     help="repetitions per measurement; best kept (variance guard)")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="--scaling: number of interleaved lo/hi rounds; the "
+                         "reported efficiency is the MEDIAN round")
     ap.add_argument("--scale-cpus", default="4,16",
                     help="N,4N pair for --scaling. Default 4,16: this host's 32 "
                          "vCPUs are oversubscribed (pure-spin test shows 1.67x "
@@ -128,17 +143,21 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.scaling:
-        repeat = max(args.repeat, 2)  # wall-clock variance guard: best-of-N
+        # Interleaved-median methodology: the shared host's per-core speed
+        # drifts ~1.4x over minutes, so a single (lo, hi) pair measures host
+        # weather as much as the engine. Run `--rounds` alternating lo/hi
+        # pairs (adjacent runs see similar host conditions), compute the
+        # efficiency per round, and report the MEDIAN round — not best-of-N.
         lo, hi = (int(x) for x in args.scale_cpus.split(","))
         assert hi == 4 * lo, "scaling criterion compares N and 4N"
-        results = {}
-        for cpus in (lo, hi):
+
+        def run_one(cpus: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        GRAFT_ER_CUSTOMERS=str(args.customers))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--er-only",
                  "--num-cpus", str(cpus), "--sf-dir", args.sf_dir,
-                 "--repeat", str(repeat)],
+                 "--repeat", str(args.repeat)],
                 capture_output=True, text=True, env=env, check=True,
             )
             # raylet may interleave warnings on stdout: take the last JSON line
@@ -146,28 +165,38 @@ def main() -> int:
                 ln for ln in out.stdout.strip().splitlines()
                 if ln.startswith('{"metric"')
             ]
-            results[cpus] = json.loads(json_lines[-1])
-        pps_lo = results[lo]["er"]["pairs_per_sec_e2e"]
-        pps_hi = results[hi]["er"]["pairs_per_sec_e2e"]
-        eff = (pps_hi / pps_lo) / 4 if pps_lo else 0.0
-        # primary throughput metric (BASELINE.json): candidate-pairs-scored/sec
-        sps_lo = results[lo]["er"]["pairs_scored_per_sec"]
-        sps_hi = results[hi]["er"]["pairs_scored_per_sec"]
-        eff_scoring = (sps_hi / sps_lo) / 4 if sps_lo else 0.0
+            return json.loads(json_lines[-1])["er"]
+
+        rounds = []
+        for _ in range(args.rounds):
+            r_lo = run_one(lo)
+            r_hi = run_one(hi)
+            rounds.append({
+                "eff_e2e": round(
+                    (r_hi["pairs_per_sec_e2e"] / r_lo["pairs_per_sec_e2e"]) / 4, 3),
+                "eff_scoring": round(
+                    (r_hi["pairs_scored_per_sec"] / r_lo["pairs_scored_per_sec"]) / 4, 3),
+                f"pairs_scored_per_sec_{lo}cpus": r_lo["pairs_scored_per_sec"],
+                f"pairs_scored_per_sec_{hi}cpus": r_hi["pairs_scored_per_sec"],
+                f"er_seconds_{lo}cpus": r_lo["seconds"]["total"],
+                f"er_seconds_{hi}cpus": r_hi["seconds"]["total"],
+                f"stage_seconds_{lo}cpus": r_lo["seconds"],
+                f"stage_seconds_{hi}cpus": r_hi["seconds"],
+            })
+
+        def median(vals):
+            s = sorted(vals)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
-            "value": round(eff, 3),
+            "value": round(median(r["eff_e2e"] for r in rounds), 3),
             "unit": "ratio",
-            "scoring_stage_efficiency": round(eff_scoring, 3),
-            f"pairs_scored_per_sec_{lo}cpus": sps_lo,
-            f"pairs_scored_per_sec_{hi}cpus": sps_hi,
-            f"pairs_per_sec_{lo}cpus": pps_lo,
-            f"pairs_per_sec_{hi}cpus": pps_hi,
-            f"er_seconds_{lo}cpus": results[lo]["er"]["seconds"]["total"],
-            f"er_seconds_{hi}cpus": results[hi]["er"]["seconds"]["total"],
-            f"stage_seconds_{lo}cpus": results[lo]["er"]["seconds"],
-            f"stage_seconds_{hi}cpus": results[hi]["er"]["seconds"],
-            "repeat_best_of": repeat,
+            "methodology": f"median of {args.rounds} interleaved {lo}/{hi}-cpu rounds",
+            "scoring_stage_efficiency": round(
+                median(r["eff_scoring"] for r in rounds), 3),
+            "rounds": rounds,
             "sf": args.sf_dir,
             "customers": args.customers,
         }))

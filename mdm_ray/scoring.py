@@ -105,9 +105,6 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     n = batch.num_rows
     w = cfg.weights
 
-    name1, name2 = _col(batch, "1_full_name_clean"), _col(batch, "2_full_name_clean")
-    addr1, addr2 = _col(batch, "1_address_clean"), _col(batch, "2_address_clean")
-
     # ---- exact (bigquery_utils.py:312-337) ----------------------------------
     email_eq = _eq_nonnull(
         _acol(batch, "1_email_clean"), _acol(batch, "2_email_clean")
@@ -121,24 +118,6 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         # opt-in — see the config flag's leakage note
         cid_eq = _eq_nonnull(batch["1_customer_id"], batch["2_customer_id"])
         exact = np.maximum(exact, cid_eq.astype(np.float64))
-
-    # ---- fuzzy (bigquery_utils.py:342-403) ----------------------------------
-    name_edit = edit_similarity_batch(name1, name2)
-    name_soundex = np.where(
-        _eq_nonnull(_acol(batch, "1_name_soundex"), _acol(batch, "2_name_soundex")),
-        C.SOUNDEX_EQUAL_SCORE, 0.0,
-    )
-    name_token = token_overlap_batch(name1, name2)
-    addr_edit = edit_similarity_batch(addr1, addr2)
-    name_fuzzy = np.maximum.reduce([name_edit, name_soundex, name_token])
-    if cfg.use_jaro_winkler:
-        name_jw = jaro_winkler_batch(name1, name2)
-        name_fuzzy = np.maximum(name_fuzzy, name_jw)
-    else:
-        name_jw = np.zeros(n)
-    fuzzy_overall = (name_fuzzy + addr_edit) / 2.0
-    fuzzy_retained = np.maximum(name_fuzzy, addr_edit) > C.FUZZY_RETAIN_THRESHOLD
-    fuzzy = np.where(fuzzy_retained, fuzzy_overall, 0.0)
 
     # ---- vector (bigquery_utils.py:406-425) ---------------------------------
     if "1_embedding" in batch.column_names:
@@ -197,12 +176,58 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     income = np.where(ratio >= C.INCOME_RATIO_MIN, C.INCOME_SCORE, 0.0)
     business = same_company + same_loc + age + income
 
+    # ---- retain-bound prefilter ---------------------------------------------
+    # With fuzzy ≤ 1 and ai ≤ 1, ub bounds the combined score from the cheap
+    # legs alone. When retain_filter is on, pairs with ub ≤ RETAIN_THRESHOLD
+    # are dropped by the final filter NO MATTER what the string kernels say —
+    # so the expensive fuzzy/ai legs run only on the ~40% that can survive.
+    # Output-preserving: surviving pairs get the full computation; skipped
+    # pairs are dropped in both paths (their true combined ≤ ub ≤ threshold).
+    w_string = w["fuzzy"] + w.get("ai", 0.0)
+    if retain_filter and n:
+        ub = (w["exact"] * exact + w["vector"] * vector
+              + w["business"] * business + w_string)
+        alive = np.nonzero(ub > C.RETAIN_THRESHOLD)[0]
+    else:
+        alive = np.arange(n)
+    m = len(alive)
+    sub = batch if m == n else batch.take(pa.array(alive, pa.int64()))
+
+    def scatter(vals: np.ndarray) -> np.ndarray:
+        if m == n:
+            return vals
+        full = np.zeros(n, dtype=np.float64)
+        full[alive] = vals
+        return full
+
+    # ---- fuzzy (bigquery_utils.py:342-403) — alive subset only --------------
+    name1, name2 = _col(sub, "1_full_name_clean"), _col(sub, "2_full_name_clean")
+    addr1, addr2 = _col(sub, "1_address_clean"), _col(sub, "2_address_clean")
+    name_edit = edit_similarity_batch(name1, name2)
+    name_soundex = np.where(
+        _eq_nonnull(_acol(sub, "1_name_soundex"), _acol(sub, "2_name_soundex")),
+        C.SOUNDEX_EQUAL_SCORE, 0.0,
+    )
+    name_token = token_overlap_batch(name1, name2)
+    addr_edit = edit_similarity_batch(addr1, addr2)
+    name_fuzzy = np.maximum.reduce([name_edit, name_soundex, name_token]) \
+        if m else np.zeros(0)
+    if cfg.use_jaro_winkler:
+        name_jw_sub = jaro_winkler_batch(name1, name2)
+        name_fuzzy = np.maximum(name_fuzzy, name_jw_sub)
+    else:
+        name_jw_sub = np.zeros(m)
+    fuzzy_overall = (name_fuzzy + addr_edit) / 2.0
+    fuzzy_retained = np.maximum(name_fuzzy, addr_edit) > C.FUZZY_RETAIN_THRESHOLD
+    fuzzy = scatter(np.where(fuzzy_retained, fuzzy_overall, 0.0))
+    name_jw = scatter(name_jw_sub)
+
     # ---- ai surrogate (5-way profile only; deterministic) -------------------
     if w.get("ai", 0.0) > 0:
-        email1, email2 = _col(batch, "1_email_clean"), _col(batch, "2_email_clean")
+        email1, email2 = _col(sub, "1_email_clean"), _col(sub, "2_email_clean")
         email_jac = ngram_jaccard_batch(email1, email2, 3)
         ai_raw = np.round(0.5 * name_fuzzy + 0.3 * addr_edit + 0.2 * email_jac, 6)
-        ai = np.where(ai_raw > 0.4, ai_raw, 0.0)  # bigquery_utils.py:539
+        ai = scatter(np.where(ai_raw > 0.4, ai_raw, 0.0))  # bigquery_utils.py:539
     else:
         ai = np.zeros(n)
 

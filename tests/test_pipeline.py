@@ -246,3 +246,43 @@ def test_golden_record_full_field_parity(t1):
         assert r["confidence_score"] == 0.95
         assert r["processing_path"] == "batch_migrated"
         assert r["embedding"] is None  # batch migration omits it
+
+
+def test_retain_prefilter_output_identical():
+    """The cheap-leg upper-bound prefilter (scoring.py) must leave the
+    retained pair set and every score column byte-identical to full scoring
+    followed by the retain filter, in both weight profiles."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import mdm_ray.config as C
+    from mdm_ray import synth
+    from mdm_ray.blocking import prep_scoring_columns
+    from mdm_ray.config import EngineConfig
+    from mdm_ray.embed import HashingEmbedder
+    from mdm_ray.features import featurize_batch
+    from mdm_ray.scoring import score_pairs_batch
+
+    feats = HashingEmbedder(64)(
+        prep_scoring_columns(featurize_batch(synth.generate_documents_local(600)))
+    )
+    rng = np.random.default_rng(1)
+    ii = rng.integers(0, feats.num_rows, 20000)
+    jj = rng.integers(0, feats.num_rows, 20000)
+    cols = {}
+    for f in feats.column_names:
+        if f in ("spans", "media_refs"):
+            continue
+        cols["1_" + f] = feats[f].take(pa.array(ii, pa.int64()))
+        cols["2_" + f] = feats[f].take(pa.array(jj, pa.int64()))
+    batch = pa.table(cols)
+    for profile in ("4way", "5way"):
+        cfg = EngineConfig(weight_profile=profile)
+        fast = score_pairs_batch(batch, cfg, True)
+        slow_all = score_pairs_batch(batch, cfg, False)
+        slow = slow_all.filter(
+            pc.greater(slow_all["combined_score"], C.RETAIN_THRESHOLD)
+        )
+        assert fast.num_rows == slow.num_rows
+        for col in fast.column_names:
+            assert fast[col].to_pylist() == slow[col].to_pylist(), (profile, col)
