@@ -68,20 +68,25 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     t_end = time.time()
     wall = t_end - t0
     # candidate count (UNtimed bookkeeping pass): emission only, no scoring —
-    # the timed scoring stage evaluated every one of these pairs
-    import pyarrow as pa
+    # the timed scoring stage evaluated every one of these pairs. The count is
+    # deterministic per fixture size, so repeat invocations (--scaling rounds)
+    # can pass it via GRAFT_CANDIDATES instead of re-running the pass.
+    if os.environ.get("GRAFT_CANDIDATES"):
+        candidates = int(os.environ["GRAFT_CANDIDATES"])
+    else:
+        import pyarrow as pa
 
-    from mdm_ray.pairs import _partition_by_key, emit_pairs_block
+        from mdm_ray.pairs import _partition_by_key, emit_pairs_block
 
-    def count_pairs(b: pa.Table) -> pa.Table:
-        total = sum(c.num_rows for c in emit_pairs_block(b))
-        return pa.table({"n": pa.array([total], pa.int64())})
+        def count_pairs(b: pa.Table) -> pa.Table:
+            total = sum(c.num_rows for c in emit_pairs_block(b))
+            return pa.table({"n": pa.array([total], pa.int64())})
 
-    candidates = int(
-        _partition_by_key(build_blocked(feats, cfg))
-        .map_batches(count_pairs, batch_size=None, batch_format="pyarrow")
-        .sum("n")
-    )
+        candidates = int(
+            _partition_by_key(build_blocked(feats, cfg))
+            .map_batches(count_pairs, batch_size=None, batch_format="pyarrow")
+            .sum("n")
+        )
     return {
         "docs": n_docs,
         "candidate_pairs": candidates,
@@ -151,9 +156,13 @@ def main() -> int:
         lo, hi = (int(x) for x in args.scale_cpus.split(","))
         assert hi == 4 * lo, "scaling criterion compares N and 4N"
 
+        known_candidates: list[int] = []
+
         def run_one(cpus: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        GRAFT_ER_CUSTOMERS=str(args.customers))
+            if known_candidates:
+                env["GRAFT_CANDIDATES"] = str(known_candidates[0])
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--er-only",
                  "--num-cpus", str(cpus), "--sf-dir", args.sf_dir,
@@ -165,7 +174,10 @@ def main() -> int:
                 ln for ln in out.stdout.strip().splitlines()
                 if ln.startswith('{"metric"')
             ]
-            return json.loads(json_lines[-1])["er"]
+            er = json.loads(json_lines[-1])["er"]
+            if not known_candidates:
+                known_candidates.append(int(er["candidate_pairs"]))
+            return er
 
         rounds = []
         for _ in range(args.rounds):
