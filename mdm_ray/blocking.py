@@ -157,17 +157,84 @@ def oversized_blocks(blocked_ds, cap: int) -> dict[str, int]:
     return {r["block_key"]: r["count()"] for r in hot.take_all()}
 
 
-def hot_key_counts(keyed_features_ds, cap: int) -> dict[str, int]:
-    """Hot-key census from the per-doc ``block_keys`` column: per-batch
-    partial Counter (combiner) → groupby(key).sum — the shuffle moves one row
-    per distinct key per batch, never per doc, and only keys over ``cap``
-    reach the driver."""
-    from collections import Counter
+_CENSUS_BUCKETS = 1 << 20  # 8 MiB int64 sketch — constant, independent of key count
 
-    def partial(batch: pa.Table) -> pa.Table:
+
+def hot_key_counts(keyed_features_ds, cap: int, floor: int | None = None) -> dict[str, int]:
+    """Hot-key census without an all-to-all shuffle (the groupby census cost a
+    fixed ~9 s per run regardless of CPU count — it was the pipeline's largest
+    serial term). Two map-only passes over the materialized per-doc key
+    columns:
+
+    1. **Sketch**: each batch bincounts its key fingerprints into a fixed
+       ``M = 2^20``-bucket array and returns the nonzero (bucket, count)
+       pairs; the driver merges them into one bounded ``M``-length array.
+       A key's bucket sum upper-bounds its true count (collisions only ever
+       inflate), so buckets ≤ ``cap`` prove every key they hold is cold —
+       no false negatives, ever.
+    2. **Exact recount**: only docs holding a key in a candidate (> cap)
+       bucket are revisited; their candidate keys are exact-counted and
+       merged on the driver. Candidates ≈ true hot keys + a handful of
+       collision false positives, so this pass touches a sliver of the data.
+
+    Driver memory is O(M + hot), not O(distinct keys). At multi-node scale
+    the per-batch sketches (≤ M rows, typically ~distinct-keys-per-batch)
+    would feed a tree reduce instead of the driver loop; the candidate mask
+    ships to pass 2 once via ``ray.put``.
+
+    ``floor`` (default: ``cap``) lowers the exact-recount threshold so the
+    census also returns MID-SIZE keys (``floor < count``): pair-partition
+    planning (``plan_partitions``) LPT-places those to kill work skew."""
+    import ray
+
+    M = _CENSUS_BUCKETS
+    if floor is None:
+        floor = cap
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        kh = batch["key_hashes"].combine_chunks()
+        flat = pc.list_flatten(kh).to_numpy(zero_copy_only=False).astype(np.uint64)
+        cnt = np.bincount((flat % M).astype(np.int64), minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    total = np.zeros(M, np.int64)
+    for t in (
+        keyed_features_ds.select_columns(["key_hashes"])
+        .map_batches(sketch, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        np.add.at(
+            total,
+            t["bucket"].to_numpy(zero_copy_only=False),
+            t["cnt"].to_numpy(zero_copy_only=False),
+        )
+    mask = total > floor
+    if not mask.any():
+        return {}
+    mask_ref = ray.put(mask)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        m = ray.get(mask_ref)
+        kh = batch["key_hashes"].combine_chunks()
+        flat = pc.list_flatten(kh).to_numpy(zero_copy_only=False).astype(np.uint64)
+        hit = m[(flat % M).astype(np.int64)]
+        from collections import Counter
+
         c: Counter = Counter()
-        for keys in batch["block_keys"].to_pylist():
-            c.update(keys)
+        if hit.any():
+            parent = pc.list_parent_indices(kh).to_numpy(zero_copy_only=False)
+            docs = np.unique(parent[hit])
+            key_lists = batch["block_keys"].take(pa.array(docs)).to_pylist()
+            for keys in key_lists:
+                for k in keys:
+                    if m[key_hash(k) % M]:
+                        c[k] += 1
         return pa.table(
             {
                 "block_key": pa.array(list(c.keys()), pa.string()),
@@ -175,16 +242,17 @@ def hot_key_counts(keyed_features_ds, cap: int) -> dict[str, int]:
             }
         )
 
-    counts = (
-        keyed_features_ds.select_columns(["block_keys"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("block_key")
-        .sum("cnt")
-    )
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["sum(cnt)"], cap)), batch_format="pyarrow"
-    )
-    return {r["block_key"]: r["sum(cnt)"] for r in hot.take_all()}
+    from collections import Counter
+
+    merged: Counter = Counter()
+    for t in (
+        keyed_features_ds.select_columns(["block_keys", "key_hashes"])
+        .map_batches(exact, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for k, n in zip(t["block_key"].to_pylist(), t["cnt"].to_pylist()):
+            merged[k] += n
+    return {k: n for k, n in merged.items() if n > floor}
 
 
 def attach_block_keys(features_ds, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -266,13 +334,18 @@ def emit_keys_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.T
     return em(batch)
 
 
-def build_blocked(features_ds, cfg: EngineConfig = DEFAULT_CONFIG, skip_salting: bool = False):
+def build_blocked(features_ds, cfg: EngineConfig = DEFAULT_CONFIG, skip_salting: bool = False,
+                  census: dict[str, int] | None = None):
     """features Dataset -> salted (block_key, scoring-fields, chunk) Dataset.
 
     Fully lazy: the wide exploded table is NEVER materialized. The hot-key
     census runs as a cheap separate pass over the per-doc ``block_keys``
     column (callers materialize features once, so key emission is not
-    recomputed), then explode + salt stream straight into pair generation."""
+    recomputed), then explode + salt stream straight into pair generation.
+
+    ``census``: optional precomputed ``hot_key_counts`` result (possibly with
+    a lower ``floor`` — extra mid-size entries are ignored here but reused by
+    ``pairs.plan_partitions`` for work-balanced exchange placement)."""
     sch = features_ds.schema()
     if "block_keys" not in (sch.names if sch is not None else []):
         features_ds = attach_block_keys(features_ds, cfg)
@@ -282,7 +355,9 @@ def build_blocked(features_ds, cfg: EngineConfig = DEFAULT_CONFIG, skip_salting:
             lambda b: b.append_column("chunk", pa.array([0] * b.num_rows, pa.int32())),
             batch_format="pyarrow",
         )
-    hot = hot_key_counts(features_ds, cfg.max_block_size)
+    if census is None:
+        census = hot_key_counts(features_ds, cfg.max_block_size)
+    hot = {k: c for k, c in census.items() if c > cfg.max_block_size}
     if not hot:
         return blocked.map_batches(
             lambda b: b.append_column("chunk", pa.array([0] * b.num_rows, pa.int32())),

@@ -274,7 +274,47 @@ def _empty_pairs(batch: pa.Table, fields: list[str]) -> pa.Table:
     return pa.table(cols)
 
 
-def _partition_by_key(blocked_ds):
+def plan_partitions(census: dict[str, int], cap: int, n: int) -> dict[str, int]:
+    """Driver-side LPT placement of heavy blocking groups across the ``n``
+    exchange partitions.
+
+    Pair-emission work is Σ over groups of ~size²/2 — heavily skewed even
+    after salting (salted chunk-pair groups still hold ~2×cap rows → ~cap²
+    pairs each). Random (crc32) key→partition assignment left the hottest
+    partition ~4× the mean, bounding the whole scoring stage on one
+    straggler task. The census already knows every key over ``floor`` rows
+    exactly, so: expand hot keys into their salted ``k#i_j`` chunk-pair keys
+    with estimated pair weights, weight mid-size keys at C(c,2), sort
+    descending, and greedily assign each to the currently-lightest partition
+    (classic LPT, ≤ 4/3 OPT). Light keys (below the census floor — bounded
+    weight, high count) stay on crc32 % n, which balances them by the law of
+    large numbers. The assignment dict is small (heavy keys only) and ships
+    once via ``ray.put``."""
+    import heapq
+
+    items: list[tuple[float, str]] = []
+    for k, c in census.items():
+        if c > cap:
+            m = -(-c // cap)
+            s = c / m
+            for i in range(m):
+                for j in range(i, m):
+                    w = s * (s - 1) / 2 if i == j else s * s
+                    items.append((w, f"{k}#{i}_{j}"))
+        else:
+            items.append((c * (c - 1) / 2, k))
+    items.sort(reverse=True)
+    heap: list[tuple[float, int]] = [(0.0, p) for p in range(n)]
+    heapq.heapify(heap)
+    assign: dict[str, int] = {}
+    for w, k in items:
+        load, p = heapq.heappop(heap)
+        assign[k] = p
+        heapq.heappush(heap, (load + w, p))
+    return assign
+
+
+def _partition_by_key(blocked_ds, assign: dict[str, int] | None = None):
     """Hash-partition so every key group lands whole in one block.
 
     Implemented as sort on a derived ``_part = crc32(block_key) mod n`` int
@@ -284,18 +324,32 @@ def _partition_by_key(blocked_ds):
     key itself, contiguous hot-key regions put ~a quarter of all candidate
     pairs into one straggler partition. Sorting a small-cardinality int is
     also cheaper than sorting the key strings. Each kernel locally re-sorts
-    its block by the actual key."""
+    its block by the actual key.
+
+    ``assign``: optional heavy-key → partition overrides from
+    ``plan_partitions`` (work-balanced LPT placement)."""
+    import ray
     import zlib
 
     from .dsutil import default_parallelism
 
     n = default_parallelism(multiplier=4)
+    assign_ref = ray.put(assign) if assign else None
 
     def add_part(b: pa.Table) -> pa.Table:
-        parts = [
-            zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
-            for k in b["block_key"].to_pylist()
-        ]
+        planned = ray.get(assign_ref) if assign_ref is not None else None
+        if planned:
+            parts = []
+            for k in b["block_key"].to_pylist():
+                p = planned.get(k)
+                if p is None:
+                    p = zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
+                parts.append(p)
+        else:
+            parts = [
+                zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
+                for k in b["block_key"].to_pylist()
+            ]
         return b.append_column("_part", pa.array(parts, pa.int32()))
 
     # pre-split (cheap, no shuffle): the sort emits one output partition per
@@ -307,33 +361,60 @@ def _partition_by_key(blocked_ds):
     )
 
 
-def build_pairs(blocked_ds, id_col: str = "doc_id"):
+def _plan_from_census(census, cfg):
+    from .dsutil import default_parallelism
+
+    if not census:
+        return None
+    return plan_partitions(census, cfg.max_block_size, default_parallelism(multiplier=4))
+
+
+def build_pairs(blocked_ds, id_col: str = "doc_id", census: dict[str, int] | None = None, cfg=None):
     """blocked Dataset -> globally-deduped candidate-pair Dataset (both sides'
     scoring fields inline; no further shuffle needed before scoring)."""
     import functools
 
-    return _partition_by_key(blocked_ds).map_batches(
+    from .config import DEFAULT_CONFIG
+
+    assign = _plan_from_census(census, cfg or DEFAULT_CONFIG)
+    return _partition_by_key(blocked_ds, assign).map_batches(
         functools.partial(emit_pairs_block, id_col=id_col),
         batch_size=None, batch_format="pyarrow",
     )
 
 
-def build_scored(blocked_ds, cfg=None, retain_filter: bool = True):
-    """blocked Dataset → scored-pair Dataset in ONE fused generator kernel per
-    partition: pairs are emitted in ~``MAX_PAIRS_PER_CHUNK`` slices and
-    scored immediately, so the wide pair table never exists anywhere — not
-    even transiently in the object store. This is the production path for the
-    full ER run (the standalone ``build_pairs``/``score_pairs`` stages remain
-    for operating on pair Datasets directly)."""
+def build_scored(blocked_ds, cfg=None, retain_filter: bool = True,
+                 census: dict[str, int] | None = None):
+    """blocked Dataset → scored-pair Dataset in TWO streaming stages:
+
+    1. Per exchange partition, a fused generator emits candidate pairs in
+       ~``MAX_PAIRS_PER_CHUNK`` slices and immediately runs the CHEAP legs +
+       retain-bound prefilter (``scoring.score_cheap_batch``) — the wide
+       full-payload pair table never exists; only the surviving ~40%
+       narrow intermediate (ids + strings + cheap scores) enters the object
+       store, streamed with backpressure.
+    2. A separate ``map_batches`` runs the string kernels at a small uniform
+       ``batch_size``. This is the load-balance fix: blocks that are real
+       duplicate clusters cost ~10× more string-kernel time per pair (high
+       bound-survivor rate), so fusing stage 2 into stage 1 stragglered the
+       whole pipeline on a few partitions no matter how pairs were placed.
+       Re-batching lets Ray spread exactly the expensive work evenly."""
+    import functools
+
     from .config import DEFAULT_CONFIG
-    from .scoring import score_pairs_batch
+    from .scoring import score_cheap_batch, score_strings_batch
 
     cfg = cfg or DEFAULT_CONFIG
 
-    def emit_and_score(batch: pa.Table) -> Iterator[pa.Table]:
+    def emit_and_cheap(batch: pa.Table) -> Iterator[pa.Table]:
         for chunk in emit_pairs_block(batch):
-            yield score_pairs_batch(chunk, cfg, retain_filter)
+            yield score_cheap_batch(chunk, cfg, prefilter=retain_filter)
 
-    return _partition_by_key(blocked_ds).map_batches(
-        emit_and_score, batch_size=None, batch_format="pyarrow"
+    inter = _partition_by_key(blocked_ds, _plan_from_census(census, cfg)).map_batches(
+        emit_and_cheap, batch_size=None, batch_format="pyarrow"
+    )
+    return inter.map_batches(
+        functools.partial(score_strings_batch, cfg=cfg, retain_filter=retain_filter),
+        batch_size=cfg.score_batch_size,
+        batch_format="pyarrow",
     )

@@ -41,11 +41,15 @@ def build_features(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings:
 def run_er(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = True):
     """Full pipeline; returns dict of the key stage Datasets (lazy where
     possible — scored/golden are consumed by the caller)."""
+    from .blocking import hot_key_counts
     from .pairs import build_scored
 
     feats = build_features(docs_ds, cfg, with_embeddings).materialize()
-    blocked = build_blocked(feats, cfg)
-    scored = build_scored(blocked, cfg).materialize()
+    # one census serves both salting (keys > cap) and work-balanced exchange
+    # placement (keys > cap/4 get LPT partition assignments in build_scored)
+    census = hot_key_counts(feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4))
+    blocked = build_blocked(feats, cfg, census=census)
+    scored = build_scored(blocked, cfg, census=census).materialize()
     edges = build_edges(scored)
     labels = connected_components(edges, init_labels(feats), cfg)
     golden = build_golden(feats, labels, num_partitions=cfg.cc_num_partitions)
@@ -76,11 +80,20 @@ def run_er_checkpointed(docs_ds, ckpt_root: str | None,
         ckpt_root, "features", ch,
         lambda: build_features(docs_ds, cfg, with_embeddings).materialize(),
     )
+    from .blocking import hot_key_counts
     from .pairs import build_scored
+
+    def _compute_scored():
+        census = hot_key_counts(
+            feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4)
+        )
+        return build_scored(
+            build_blocked(feats, cfg, census=census), cfg, census=census
+        ).materialize()
 
     scored, resumed["scored"] = storage.stage_or_compute(
         ckpt_root, "scored", ch,
-        lambda: build_scored(build_blocked(feats, cfg), cfg).materialize(),
+        lambda: _compute_scored(),
         input_stage="features",
         metrics_fn=lambda ds: {"pairs_retained": ds.count()},
     )

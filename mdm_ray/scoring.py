@@ -100,8 +100,23 @@ def _emb_matrix(col) -> tuple[np.ndarray, np.ndarray]:
     return mat, valid
 
 
-def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
-                      retain_filter: bool = True) -> pa.Table:
+# string-side columns stage A must carry for stage B (besides ids/sources)
+_STRING_STAGE_COLS = [
+    "full_name_clean", "address_clean", "email_clean", "name_soundex",
+]
+
+
+def score_cheap_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
+                      prefilter: bool = True) -> pa.Table:
+    """Stage A of pair scoring: the vectorized cheap legs (exact, vector,
+    business) + the retain-bound prefilter, emitting a NARROW intermediate
+    (ids, sources, string fields, cheap scores) for the string-kernel stage.
+
+    Splitting here lets the expensive string stage re-batch at a small
+    uniform ``batch_size`` across the whole cluster: partitions whose blocks
+    are real duplicate clusters cost ~10× more string-kernel time per pair
+    (high survivor rate), so a fused per-partition scorer stragglers even
+    when emitted-pair counts are LPT-balanced."""
     n = batch.num_rows
     w = cfg.weights
 
@@ -178,13 +193,13 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
 
     # ---- retain-bound prefilter ---------------------------------------------
     # With fuzzy ≤ 1 and ai ≤ 1, ub bounds the combined score from the cheap
-    # legs alone. When retain_filter is on, pairs with ub ≤ RETAIN_THRESHOLD
+    # legs alone. When prefilter is on, pairs with ub ≤ RETAIN_THRESHOLD
     # are dropped by the final filter NO MATTER what the string kernels say —
     # so the expensive fuzzy/ai legs run only on the ~40% that can survive.
     # Output-preserving: surviving pairs get the full computation; skipped
     # pairs are dropped in both paths (their true combined ≤ ub ≤ threshold).
     w_string = w["fuzzy"] + w.get("ai", 0.0)
-    if retain_filter and n:
+    if prefilter and n:
         ub = (w["exact"] * exact + w["vector"] * vector
               + w["business"] * business + w_string)
         alive = np.nonzero(ub > C.RETAIN_THRESHOLD)[0]
@@ -193,6 +208,96 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     m = len(alive)
     sub = batch if m == n else batch.take(pa.array(alive, pa.int64()))
 
+    def pick(v: np.ndarray) -> np.ndarray:
+        return v if m == n else v[alive]
+
+    cols: dict = {
+        "1_doc_id": sub["1_doc_id"],
+        "2_doc_id": sub["2_doc_id"],
+        "1_source_system": _acol(sub, "1_source_system"),
+        "2_source_system": _acol(sub, "2_source_system"),
+    }
+    for f in _STRING_STAGE_COLS:
+        cols["1_" + f] = _acol(sub, "1_" + f)
+        cols["2_" + f] = _acol(sub, "2_" + f)
+    cols["exact_score"] = pa.array(pick(exact), pa.float64())
+    cols["vector_score"] = pa.array(pick(vector), pa.float64())
+    cols["business_score"] = pa.array(pick(business), pa.float64())
+    return pa.table(cols)
+
+
+def score_strings_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
+                        retain_filter: bool = True) -> pa.Table:
+    """Stage B of pair scoring: the string-kernel legs (fuzzy, ai) over the
+    stage-A intermediate, the weighted ensemble, decisions, and the final
+    retain filter.
+
+    When ``retain_filter`` is on, a SECOND bound — exact Soundex/token/JW
+    plus the length-difference Levenshtein bound ``sim ≤ 1 − |l1−l2|/max`` —
+    proves most pairs unretainable before the edit-distance DP runs (only
+    ~3% of candidate pairs are ultimately retained), so the O(L²) DP sweeps
+    see a small fraction of the batch."""
+    n = batch.num_rows
+    w = cfg.weights
+    exact = batch["exact_score"].to_numpy(zero_copy_only=False)
+    vector = batch["vector_score"].to_numpy(zero_copy_only=False)
+    business = batch["business_score"].to_numpy(zero_copy_only=False)
+    cheap = w["exact"] * exact + w["vector"] * vector + w["business"] * business
+    w_ai = w.get("ai", 0.0)
+
+    name1, name2 = _col(batch, "1_full_name_clean"), _col(batch, "2_full_name_clean")
+    addr1, addr2 = _col(batch, "1_address_clean"), _col(batch, "2_address_clean")
+    # exact cheap string legs (no DP)
+    name_soundex = np.where(
+        _eq_nonnull(_acol(batch, "1_name_soundex"), _acol(batch, "2_name_soundex")),
+        C.SOUNDEX_EQUAL_SCORE, 0.0,
+    )
+    name_token = token_overlap_batch(name1, name2)
+    if cfg.use_jaro_winkler:
+        name_jw = jaro_winkler_batch(name1, name2)
+    else:
+        name_jw = np.zeros(n)
+    if w_ai > 0:
+        email_jac = ngram_jaccard_batch(
+            _col(batch, "1_email_clean"), _col(batch, "2_email_clean"), 3
+        )
+    else:
+        email_jac = np.zeros(n)
+    nf0 = np.maximum.reduce([name_soundex, name_token, name_jw]) if n else np.zeros(0)
+
+    if retain_filter and n:
+        # length-difference upper bound on edit similarity (0 when either empty)
+        def edit_ub(a: list, b: list) -> np.ndarray:
+            la = np.fromiter((len(s) if s else 0 for s in a), np.float64, count=n)
+            lb = np.fromiter((len(s) if s else 0 for s in b), np.float64, count=n)
+            mx = np.maximum(la, lb)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ub = np.where((la > 0) & (lb > 0), 1.0 - np.abs(la - lb) / np.maximum(mx, 1.0), 0.0)
+            return ub
+
+        nf_ub = np.maximum(nf0, edit_ub(name1, name2))
+        ae_ub = edit_ub(addr1, addr2)
+        fuzzy_ub = np.where(
+            np.maximum(nf_ub, ae_ub) > C.FUZZY_RETAIN_THRESHOLD,
+            (nf_ub + ae_ub) / 2.0, 0.0,
+        )
+        ai_ub_raw = 0.5 * nf_ub + 0.3 * ae_ub + 0.2 * email_jac
+        ai_ub = np.where(ai_ub_raw + 1e-6 > 0.4, ai_ub_raw + 1e-6, 0.0)
+        # 1e-9 margin: summation-order float drift must never prove a
+        # marginally-retainable pair dead
+        ub2 = cheap + w["fuzzy"] * fuzzy_ub + w_ai * ai_ub + 1e-9
+        alive = np.nonzero(ub2 > C.RETAIN_THRESHOLD)[0]
+    else:
+        alive = np.arange(n)
+    m = len(alive)
+    if m == n:
+        sub_n1, sub_n2, sub_a1, sub_a2 = name1, name2, addr1, addr2
+    else:
+        sub_n1 = [name1[i] for i in alive]
+        sub_n2 = [name2[i] for i in alive]
+        sub_a1 = [addr1[i] for i in alive]
+        sub_a2 = [addr2[i] for i in alive]
+
     def scatter(vals: np.ndarray) -> np.ndarray:
         if m == n:
             return vals
@@ -200,43 +305,29 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         full[alive] = vals
         return full
 
-    # ---- fuzzy (bigquery_utils.py:342-403) — alive subset only --------------
-    name1, name2 = _col(sub, "1_full_name_clean"), _col(sub, "2_full_name_clean")
-    addr1, addr2 = _col(sub, "1_address_clean"), _col(sub, "2_address_clean")
-    name_edit = edit_similarity_batch(name1, name2)
-    name_soundex = np.where(
-        _eq_nonnull(_acol(sub, "1_name_soundex"), _acol(sub, "2_name_soundex")),
-        C.SOUNDEX_EQUAL_SCORE, 0.0,
-    )
-    name_token = token_overlap_batch(name1, name2)
-    addr_edit = edit_similarity_batch(addr1, addr2)
-    name_fuzzy = np.maximum.reduce([name_edit, name_soundex, name_token]) \
-        if m else np.zeros(0)
-    if cfg.use_jaro_winkler:
-        name_jw_sub = jaro_winkler_batch(name1, name2)
-        name_fuzzy = np.maximum(name_fuzzy, name_jw_sub)
-    else:
-        name_jw_sub = np.zeros(m)
+    # ---- fuzzy (bigquery_utils.py:342-403) — DP on the bound survivors only -
+    name_edit = scatter(edit_similarity_batch(sub_n1, sub_n2))
+    addr_edit = scatter(edit_similarity_batch(sub_a1, sub_a2))
+    name_fuzzy = np.maximum(nf0, name_edit)
     fuzzy_overall = (name_fuzzy + addr_edit) / 2.0
     fuzzy_retained = np.maximum(name_fuzzy, addr_edit) > C.FUZZY_RETAIN_THRESHOLD
-    fuzzy = scatter(np.where(fuzzy_retained, fuzzy_overall, 0.0))
-    name_jw = scatter(name_jw_sub)
+    fuzzy = np.where(fuzzy_retained, fuzzy_overall, 0.0)
 
     # ---- ai surrogate (5-way profile only; deterministic) -------------------
-    if w.get("ai", 0.0) > 0:
-        email1, email2 = _col(sub, "1_email_clean"), _col(sub, "2_email_clean")
-        email_jac = ngram_jaccard_batch(email1, email2, 3)
+    if w_ai > 0:
         ai_raw = np.round(0.5 * name_fuzzy + 0.3 * addr_edit + 0.2 * email_jac, 6)
-        ai = scatter(np.where(ai_raw > 0.4, ai_raw, 0.0))  # bigquery_utils.py:539
+        ai = np.where(ai_raw > 0.4, ai_raw, 0.0)  # bigquery_utils.py:539
     else:
         ai = np.zeros(n)
 
+    # same summation ORDER as the reference formula (and round 1's monolith):
+    # float addition is not associative, and the oracle hash is bit-sensitive
     combined = (
         w["exact"] * exact
         + w["fuzzy"] * fuzzy
         + w["vector"] * vector
         + w["business"] * business
-        + w.get("ai", 0.0) * ai
+        + w_ai * ai
     )
     decision = np.where(
         combined >= C.AUTO_MERGE_THRESHOLD, "auto_merge",
@@ -251,8 +342,8 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         {
             "doc1_id": batch["1_doc_id"],
             "doc2_id": batch["2_doc_id"],
-            "source1": batch["1_source_system"] if "1_source_system" in batch.column_names else pa.nulls(n, pa.string()),
-            "source2": batch["2_source_system"] if "2_source_system" in batch.column_names else pa.nulls(n, pa.string()),
+            "source1": batch["1_source_system"],
+            "source2": batch["2_source_system"],
             "exact_score": pa.array(exact, pa.float64()),
             "fuzzy_score": pa.array(fuzzy, pa.float64()),
             "name_jw_score": pa.array(name_jw, pa.float64()),
@@ -270,6 +361,16 @@ def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     import pyarrow.compute as pc
 
     return out.filter(pc.greater(out["combined_score"], C.RETAIN_THRESHOLD))
+
+
+def score_pairs_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
+                      retain_filter: bool = True) -> pa.Table:
+    """One-shot pair scorer (stage A + stage B in-process) for standalone
+    pair Datasets; the streaming ER path runs the stages as separate
+    operators (``pairs.build_scored``) so the string stage load-balances."""
+    return score_strings_batch(
+        score_cheap_batch(batch, cfg, prefilter=retain_filter), cfg, retain_filter
+    )
 
 
 def retain_scored(scored_ds):
