@@ -102,6 +102,30 @@ def zip_with_index(ds, col: str = "row_number", start: int = 1):
     )
 
 
+def hash_partition_by(ds, key: str, n: int | None = None):
+    """Co-locate equal ``key`` values in one block via the cheap int-sort
+    exchange (add ``_part = crc32(key) mod n`` → pre-split → sort): the same
+    guarantee a hash shuffle gives, measured faster in Ray 2.49 than both the
+    hash-shuffle strategy and a direct string sort. The ``_part`` column is
+    left on the output (callers drop or ignore it)."""
+    import zlib
+
+    n = n or default_parallelism(multiplier=4)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        parts = [
+            zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
+            for k in b[key].to_pylist()
+        ]
+        return b.append_column("_part", pa.array(parts, pa.int32()))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .repartition(n, shuffle=False)
+        .sort("_part")
+    )
+
+
 def grouped_kernel(ds, key: str, fn: Callable[[pa.Table, np.ndarray, np.ndarray], pa.Table]):
     """sort(key) + one vectorized kernel per block over ALL its groups.
 

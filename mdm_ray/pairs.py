@@ -35,7 +35,6 @@ import pyarrow as pa
 from .blocking import KEY_HASH_PAD, key_hash
 
 MAX_PAIRS_PER_CHUNK = 32_768  # small chunks → even distribution to scorer actors
-_DEDUP_CHUNK = 262_144
 
 
 def _padded_key_matrix(batch: pa.Table) -> np.ndarray:
@@ -153,21 +152,20 @@ def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
     return got
 
 
-def emit_pairs_block(batch: pa.Table, id_col: str = "doc_id") -> Iterator[pa.Table]:
-    """map_batches generator kernel over a block holding complete key groups
-    (hash-partitioned or globally sorted — locally sorts by key either way).
-    Payload = every non-bookkeeping column (the ER path projects to
-    SCORING_FIELDS upstream; other callers pass their own payloads).
-
-    The per-group work is O(1) Python (cached triu lookup + appends); the
-    dedup sweep (`_min_shared_hash`) and the payload gather run ONCE per
-    ~``_DEDUP_CHUNK`` raw pairs across ALL groups — small groups (the common
-    case) never pay a per-group NumPy dispatch."""
-    fields = [f for f in batch.column_names if f not in _META_COLS]
+def emit_pair_indices_block(
+    batch: pa.Table, id_col: str = "doc_id"
+) -> tuple[pa.Table, "Iterator[tuple[np.ndarray, np.ndarray]]"]:
+    """Core of pair emission: returns ``(sorted_batch, generator)`` where the
+    generator yields canonical ``(a, b)`` row-index arrays into
+    ``sorted_batch`` in ~``MAX_PAIRS_PER_CHUNK`` slices (``doc_id[a] <
+    doc_id[b]`` per pair, globally deduped via the min-shared-fingerprint
+    rule). Callers gather whatever payload they need from the indices —
+    ``emit_pairs_block`` materializes full 1_/2_ tables; the fused scoring
+    path computes the cheap legs straight from per-block encodings and only
+    gathers strings for bound survivors."""
     n = batch.num_rows
     if n == 0:
-        yield _empty_pairs(batch, fields)
-        return
+        return batch, iter(())
     if batch["block_key"].num_chunks > 1:  # multi-chunk blocks slow every take/scan
         batch = batch.combine_chunks()
     keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
@@ -175,92 +173,114 @@ def emit_pairs_block(batch: pa.Table, id_col: str = "doc_id") -> Iterator[pa.Tab
         order = np.argsort(keys, kind="stable")
         batch = batch.take(pa.array(order, pa.int64()))
         keys = keys[order]
-    doc_ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
-    K = _padded_key_matrix(batch)
-    chunks = (
-        batch["chunk"].to_numpy(zero_copy_only=False)
-        if "chunk" in batch.column_names
-        else None
-    )
-    # group boundaries within the sorted block
-    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
-    starts = np.concatenate(([0], change))
-    stops = np.concatenate((change, [n]))
 
-    pend_ii: list[np.ndarray] = []
-    pend_jj: list[np.ndarray] = []
-    pending = 0
-    emitted_any = False
+    def gen() -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        # rank-encode doc ids once per block: the canonical-order swap then
+        # compares int64 ranks, not 2×pairs Python string objects
+        doc_ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
+        _, doc_rank = np.unique(doc_ids, return_inverse=True)
+        K = _padded_key_matrix(batch)
+        chunks = (
+            batch["chunk"].to_numpy(zero_copy_only=False)
+            if "chunk" in batch.column_names
+            else None
+        )
+        # group boundaries within the sorted block
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        stops = np.concatenate((change, [n]))
 
-    def flush() -> pa.Table:
-        ii = np.concatenate(pend_ii)
-        jj = np.concatenate(pend_jj)
-        pend_ii.clear()
-        pend_jj.clear()
-        swap = doc_ids[ii] > doc_ids[jj]
-        a = np.where(swap, jj, ii)
-        b = np.where(swap, ii, jj)
-        left = batch.select(fields).take(pa.array(a, pa.int64()))
-        right = batch.select(fields).take(pa.array(b, pa.int64()))
-        cols = {}
-        for f in fields:
-            cols["1_" + f] = left[f]
-            cols["2_" + f] = right[f]
-        return pa.table(cols)
+        pend_ii: list[np.ndarray] = []
+        pend_jj: list[np.ndarray] = []
+        pending = 0
 
-    # phase 1: raw pair indices + per-group base hash, O(1) Python per group
-    raw_ii: list[np.ndarray] = []
-    raw_jj: list[np.ndarray] = []
-    base_hashes: list[int] = []
-    counts: list[int] = []
-    for s, e in zip(starts, stops):
-        if e - s < 2:
-            continue
-        key = str(keys[s])
-        if "#" not in key:  # unsalted group (the common case): cached triu
-            ti, tj = _triu(e - s)
-            ii, jj = ti + s, tj + s
-            base = key
-        else:
-            ii, jj, base = _emit_group(chunks, key, s, e)
-        if len(ii) == 0:
-            continue
-        raw_ii.append(ii)
-        raw_jj.append(jj)
-        base_hashes.append(key_hash(base))
-        counts.append(len(ii))
-    if not raw_ii:
-        yield _empty_pairs(batch, fields)
-        return
-    II = np.concatenate(raw_ii)
-    JJ = np.concatenate(raw_jj)
-    BH = np.repeat(np.array(base_hashes, dtype=np.uint64),
-                   np.array(counts, dtype=np.int64))
+        def flush() -> tuple[np.ndarray, np.ndarray]:
+            ii = np.concatenate(pend_ii)
+            jj = np.concatenate(pend_jj)
+            pend_ii.clear()
+            pend_jj.clear()
+            swap = doc_rank[ii] > doc_rank[jj]
+            a = np.where(swap, jj, ii)
+            b = np.where(swap, ii, jj)
+            return a, b
 
-    # phase 2: ONE chunked canonical-key dedup sweep over all raw pairs:
-    # keep a pair only where its group's key is the minimum fingerprint the
-    # two docs share, so a pair discovered under several keys materializes
-    # exactly once (no shuffle needed). Sweep chunk == flush chunk so the
-    # yielded pair tables stay ~MAX_PAIRS_PER_CHUNK — downstream scoring
-    # batches must fit in cache (bigger chunks thrash the DP temporaries
-    # under full-width parallelism).
-    step = MAX_PAIRS_PER_CHUNK
-    for lo in range(0, len(II), step):
-        ci = II[lo: lo + step]
-        cj = JJ[lo: lo + step]
-        keep = _min_shared_hash(K[ci], K[cj]) == BH[lo: lo + step]
-        if not keep.any():
-            continue
-        pend_ii.append(ci[keep])
-        pend_jj.append(cj[keep])
-        pending += int(keep.sum())
-        if pending >= MAX_PAIRS_PER_CHUNK:
-            emitted_any = True
-            pending = 0
+        # phase 1: raw pair indices + per-group base hash, O(1) Python per group
+        raw_ii: list[np.ndarray] = []
+        raw_jj: list[np.ndarray] = []
+        base_hashes: list[int] = []
+        counts: list[int] = []
+        for s, e in zip(starts, stops):
+            if e - s < 2:
+                continue
+            key = str(keys[s])
+            if "#" not in key:  # unsalted group (the common case): cached triu
+                ti, tj = _triu(e - s)
+                ii, jj = ti + s, tj + s
+                base = key
+            else:
+                ii, jj, base = _emit_group(chunks, key, s, e)
+            if len(ii) == 0:
+                continue
+            raw_ii.append(ii)
+            raw_jj.append(jj)
+            base_hashes.append(key_hash(base))
+            counts.append(len(ii))
+        if not raw_ii:
+            return
+        II = np.concatenate(raw_ii)
+        JJ = np.concatenate(raw_jj)
+        BH = np.repeat(np.array(base_hashes, dtype=np.uint64),
+                       np.array(counts, dtype=np.int64))
+
+        # phase 2: ONE chunked canonical-key dedup sweep over all raw pairs:
+        # keep a pair only where its group's key is the minimum fingerprint the
+        # two docs share, so a pair discovered under several keys materializes
+        # exactly once (no shuffle needed). Sweep chunk == flush chunk so the
+        # yielded pair slices stay ~MAX_PAIRS_PER_CHUNK — downstream scoring
+        # batches must fit in cache (bigger chunks thrash the DP temporaries
+        # under full-width parallelism).
+        step = MAX_PAIRS_PER_CHUNK
+        for lo in range(0, len(II), step):
+            ci = II[lo: lo + step]
+            cj = JJ[lo: lo + step]
+            keep = _min_shared_hash(K[ci], K[cj]) == BH[lo: lo + step]
+            if not keep.any():
+                continue
+            pend_ii.append(ci[keep])
+            pend_jj.append(cj[keep])
+            pending += int(keep.sum())
+            if pending >= MAX_PAIRS_PER_CHUNK:
+                pending = 0
+                yield flush()
+        if pending:
             yield flush()
-    if pending:
+
+    return batch, gen()
+
+
+def gather_pair_table(batch: pa.Table, a: np.ndarray, b: np.ndarray,
+                      fields: list[str]) -> pa.Table:
+    """(sorted_batch, index arrays) → wide ``1_*``/``2_*`` pair table."""
+    left = batch.select(fields).take(pa.array(a, pa.int64()))
+    right = batch.select(fields).take(pa.array(b, pa.int64()))
+    cols = {}
+    for f in fields:
+        cols["1_" + f] = left[f]
+        cols["2_" + f] = right[f]
+    return pa.table(cols)
+
+
+def emit_pairs_block(batch: pa.Table, id_col: str = "doc_id") -> Iterator[pa.Table]:
+    """map_batches generator kernel over a block holding complete key groups
+    (hash-partitioned or globally sorted — locally sorts by key either way).
+    Payload = every non-bookkeeping column (the ER path projects to
+    SCORING_FIELDS upstream; other callers pass their own payloads)."""
+    fields = [f for f in batch.column_names if f not in _META_COLS]
+    sorted_batch, gen = emit_pair_indices_block(batch, id_col)
+    emitted_any = False
+    for a, b in gen:
         emitted_any = True
-        yield flush()
+        yield gather_pair_table(sorted_batch, a, b, fields)
     if not emitted_any:
         yield _empty_pairs(batch, fields)
 
@@ -402,13 +422,28 @@ def build_scored(blocked_ds, cfg=None, retain_filter: bool = True,
     import functools
 
     from .config import DEFAULT_CONFIG
-    from .scoring import score_cheap_batch, score_strings_batch
+    from .scoring import (
+        CheapEncodings,
+        empty_cheap_table,
+        score_cheap_indexed,
+        score_strings_batch,
+    )
 
     cfg = cfg or DEFAULT_CONFIG
 
     def emit_and_cheap(batch: pa.Table) -> Iterator[pa.Table]:
-        for chunk in emit_pairs_block(batch):
-            yield score_cheap_batch(chunk, cfg, prefilter=retain_filter)
+        sorted_batch, gen = emit_pair_indices_block(batch)
+        enc = None
+        emitted = False
+        for a, b in gen:
+            if enc is None:  # built once per partition block
+                enc = CheapEncodings(sorted_batch, cfg)
+            emitted = True
+            yield score_cheap_indexed(
+                sorted_batch, a, b, enc, cfg, prefilter=retain_filter
+            )
+        if not emitted:
+            yield empty_cheap_table()
 
     inter = _partition_by_key(blocked_ds, _plan_from_census(census, cfg)).map_batches(
         emit_and_cheap, batch_size=None, batch_format="pyarrow"

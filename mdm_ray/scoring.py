@@ -106,6 +106,177 @@ _STRING_STAGE_COLS = [
 ]
 
 
+class CheapEncodings:
+    """Per-partition-block column encodings for index-based cheap-leg scoring.
+
+    Built ONCE per exchange partition (~15k docs) instead of gathering
+    full payload columns per pair (~300k pairs): equality legs become int
+    code compares (``codes[a] == codes[b]``), numeric legs are NumPy takes,
+    and the embedding matrix is converted to float64 a single time — the
+    per-pair-chunk ``_emb_matrix`` conversion plus the 2×256 B/pair embedding
+    gather were the memory-bandwidth hot spot that stopped the emit stage
+    scaling past ~8 CPUs."""
+
+    def __init__(self, batch: pa.Table, cfg: EngineConfig):
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        self.n = n
+
+        def eqcodes(name: str) -> np.ndarray:
+            """Dictionary codes with null AND empty-string mapped to -1, so
+            ``codes[a] >= 0 and codes[a] == codes[b]`` ≡ ``_eq_nonnull``."""
+            if name not in batch.column_names:
+                return np.full(n, -1, np.int64)
+            d = pc.dictionary_encode(batch[name].combine_chunks())
+            codes = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = d.dictionary.to_pylist()
+            if "" in dic:
+                codes[codes == dic.index("")] = -1
+            return codes
+
+        self.email = eqcodes("email_clean")
+        self.phone = eqcodes("phone_clean")
+        self.company = eqcodes("company")
+        self.city = eqcodes("city_clean")
+        self.state = eqcodes("state_clean")
+        self.customer = (
+            eqcodes("customer_id")
+            if cfg.use_customer_id_exact and "customer_id" in batch.column_names
+            else None
+        )
+        if "dob_days" in batch.column_names:
+            dc = batch["dob_days"]
+            self.dob_ok = pc.is_valid(dc).to_numpy(zero_copy_only=False)
+            self.dob = pc.fill_null(dc, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            self.dob_ok = np.zeros(n, bool)
+            self.dob = np.zeros(n, np.int64)
+        if "annual_income" in batch.column_names:
+            c = batch["annual_income"]
+            if c.type == pa.string():
+                c = pc.cast(c, pa.float64())
+            self.income = pc.fill_null(c, 0.0).to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            self.income = np.zeros(n, np.float64)
+        if "embedding" in batch.column_names:
+            self.E64, self.evalid = _emb_matrix(batch["embedding"])
+            E32 = self.E64.astype(np.float32)
+            norms = np.sqrt(np.einsum("ij,ij->i", E32, E32))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                self.E32n = np.where(norms[:, None] > 0, E32 / norms[:, None], 0.0).astype(np.float32)
+        else:
+            self.E64 = None
+            self.evalid = np.zeros(n, bool)
+            self.E32n = None
+# float32 quick-cosine safety margin: unit-vector dot over ≤512 dims carries
+# ≤ ~1e-5 rounding error; 5e-4 is ~50× that. Only ever ADDS bound survivors.
+_COS32_MARGIN = 5e-4
+
+
+def score_cheap_indexed(batch: pa.Table, a: np.ndarray, b: np.ndarray,
+                        enc: CheapEncodings, cfg: EngineConfig = DEFAULT_CONFIG,
+                        prefilter: bool = True) -> pa.Table:
+    """Index-pair twin of ``score_cheap_batch``: same output schema/values,
+    but the cheap legs read the per-block encodings and the quick float32
+    cosine drives the retain bound — the bit-exact float64 cosine runs only
+    on bound survivors (the only rows whose ``vector_score`` is ever output;
+    the float32 bound is an upper bound, so the survivor set is a superset
+    of the exact-filter one and stage B drops the difference)."""
+    import pyarrow.compute as pc
+
+    w = cfg.weights
+
+    def eq(codes: np.ndarray | None) -> np.ndarray:
+        if codes is None:
+            return np.zeros(len(a), bool)
+        ca = codes[a]
+        return (ca >= 0) & (ca == codes[b])
+
+    exact = np.maximum(eq(enc.email).astype(np.float64), eq(enc.phone).astype(np.float64))
+    if enc.customer is not None:
+        exact = np.maximum(exact, eq(enc.customer).astype(np.float64))
+
+    if enc.E32n is not None:
+        evalid = enc.evalid[a] & enc.evalid[b]
+        cos32 = np.einsum("ij,ij->i", enc.E32n[a], enc.E32n[b]).astype(np.float64)
+        cos_ub = np.where(evalid, np.minimum(cos32 + _COS32_MARGIN, 1.0), 0.0)
+        vec_ub = np.where(cos_ub > C.VECTOR_SIM_THRESHOLD, cos_ub, 0.0)
+    else:
+        evalid = np.zeros(len(a), bool)
+        vec_ub = np.zeros(len(a), np.float64)
+
+    same_company = np.where(eq(enc.company), C.SAME_COMPANY_SCORE, 0.0)
+    same_loc = np.where(eq(enc.city) & eq(enc.state), C.SAME_LOCATION_SCORE, 0.0)
+    dob_ok = enc.dob_ok[a] & enc.dob_ok[b]
+    diff = np.abs(enc.dob[a] - enc.dob[b])
+    age = np.where(
+        dob_ok & (diff <= 365), C.AGE_365_SCORE,
+        np.where(dob_ok & (diff <= 1825), C.AGE_1825_SCORE, 0.0),
+    )
+    inc1, inc2 = enc.income[a], enc.income[b]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(
+            (inc1 > 0) & (inc2 > 0),
+            np.minimum(inc1, inc2) / np.maximum(inc1, inc2),
+            0.0,
+        )
+    income = np.where(ratio >= C.INCOME_RATIO_MIN, C.INCOME_SCORE, 0.0)
+    business = same_company + same_loc + age + income
+
+    w_string = w["fuzzy"] + w.get("ai", 0.0)
+    if prefilter:
+        ub = (w["exact"] * exact + w["vector"] * vec_ub
+              + w["business"] * business + w_string)
+        alive = np.nonzero(ub > C.RETAIN_THRESHOLD)[0]
+    else:
+        alive = np.arange(len(a))
+    aa, bb = a[alive], b[alive]
+
+    # bit-exact float64 cosine (DuckDB list_cosine_similarity semantics) on
+    # the survivors only
+    m = len(alive)
+    if enc.E64 is not None and m:
+        va = evalid[alive]
+        cos = np.zeros(m)
+        idx = np.nonzero(va)[0]
+        if len(idx):
+            from .simfuncs import cosine_batch as _cb
+
+            cos[idx] = _cb(enc.E64[aa[idx]], enc.E64[bb[idx]])
+        vector = np.where(cos > C.VECTOR_SIM_THRESHOLD, cos, 0.0)
+    else:
+        vector = np.zeros(m)
+
+    ia = pa.array(aa, pa.int64())
+    ib = pa.array(bb, pa.int64())
+    cols: dict = {
+        "1_doc_id": batch["doc_id"].take(ia),
+        "2_doc_id": batch["doc_id"].take(ib),
+        "1_source_system": _acol(batch, "source_system").take(ia),
+        "2_source_system": _acol(batch, "source_system").take(ib),
+    }
+    for f in _STRING_STAGE_COLS:
+        cols["1_" + f] = _acol(batch, f).take(ia)
+        cols["2_" + f] = _acol(batch, f).take(ib)
+    cols["exact_score"] = pa.array(exact[alive], pa.float64())
+    cols["vector_score"] = pa.array(vector, pa.float64())
+    cols["business_score"] = pa.array(business[alive], pa.float64())
+    return pa.table(cols)
+
+
+def empty_cheap_table() -> pa.Table:
+    cols: dict = {}
+    for c in ["1_doc_id", "2_doc_id", "1_source_system", "2_source_system"]:
+        cols[c] = pa.array([], pa.string())
+    for f in _STRING_STAGE_COLS:
+        cols["1_" + f] = pa.array([], pa.string())
+        cols["2_" + f] = pa.array([], pa.string())
+    for c in ["exact_score", "vector_score", "business_score"]:
+        cols[c] = pa.array([], pa.float64())
+    return pa.table(cols)
+
+
 def score_cheap_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
                       prefilter: bool = True) -> pa.Table:
     """Stage A of pair scoring: the vectorized cheap legs (exact, vector,

@@ -12,7 +12,7 @@ per-cluster Python ``map_groups`` the reduce is a native
 
 * "longest"      → Max over the composite key ``f"{len:04d}|{value}"``
 * "most recent"  → Max over ``f"{recency}|{value}"``
-* lineage        → Unique(doc_id) / Unique(source_system)
+* lineage        → per-block Acero ``distinct`` over doc_id / source_system
 
 Determinism note: in the reference's batch run every row gets the same
 ``processed_at`` (``bigquery_utils.py:147``), so its "most recent" pick is
@@ -25,7 +25,6 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
-from ray.data.aggregate import Count, Max, Min, Unique
 
 LONGEST_FIELDS = {
     "master_name": "full_name_clean",
@@ -193,15 +192,32 @@ def build_golden(features_ds, labels_ds, num_partitions: int = 16):
         right_on=("node",),
     )
     ranked = joined.map_batches(_rank_columns, batch_format="pyarrow")
-    aggs = [Count()]
-    for out in list(LONGEST_FIELDS) + list(RECENT_FIELDS):
-        aggs.append(Max("_rk_" + out))
-    for out in FLAG_FIELDS:
-        aggs.append(Max("_fl_" + out))
-    aggs.append(Max("_income"))
-    aggs.append(Min("_first_seen"))
-    aggs.append(Max("_last_activity"))
-    aggs.append(Unique("doc_id"))
-    aggs.append(Unique("source_system"))
-    agged = ranked.groupby("label").aggregate(*aggs)
+    # One int-hash exchange co-locates every cluster in one block, then a
+    # single-threaded Acero (pyarrow C++) hash aggregate computes all 13
+    # reductions in one pass per block. Ray's groupby().aggregate() with the
+    # same aggregator list cost a near-fixed ~17 s at 4 CPUs on 48k rows —
+    # one partial-merge round trip per aggregator; Acero does the whole list
+    # in C++ at memory speed. Per-block == global because the exchange never
+    # splits a label group.
+    from .dsutil import hash_partition_by
+
+    def acero_agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        t = batch.drop_columns(["_part"])
+        specs = [("_rk_" + out, "max") for out in list(LONGEST_FIELDS) + list(RECENT_FIELDS)]
+        specs += [("_fl_" + out, "max") for out in FLAG_FIELDS]
+        specs += [
+            ("_income", "max"), ("_first_seen", "min"), ("_last_activity", "max"),
+            ("doc_id", "distinct"), ("source_system", "distinct"),
+        ]
+        g = t.group_by("label", use_threads=False).aggregate(specs)
+        # rename to the Ray-aggregate convention _finalize expects
+        ren = {f"{c}_{f}": (f"{f}(" + c + ")" if f != "distinct" else f"unique({c})")
+               for c, f in specs}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+    agged = hash_partition_by(ranked, "label", n=num_partitions).map_batches(
+        acero_agg, batch_size=None, batch_format="pyarrow"
+    )
     return agged.map_batches(_finalize, batch_format="pyarrow")
