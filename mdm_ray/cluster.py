@@ -270,12 +270,11 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
             if it == 0 and labels_are_seed:
                 msgs = edges.map_batches(first_msgs, batch_format="pyarrow")
             else:
-                joined = edges.join(
-                    labels,
-                    join_type="inner",
-                    num_partitions=cfg.cc_num_partitions,
-                    on=("dst",),
-                    right_on=("node",),
+                from .dsutil import copartition_join
+
+                joined = copartition_join(
+                    edges, labels, on="dst", right_on="node",
+                    n=cfg.cc_num_partitions,
                 )
                 msgs = joined.map_batches(msg_rows, batch_format="pyarrow")
 

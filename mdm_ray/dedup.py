@@ -157,8 +157,14 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                                       pa.list_(pa.uint64()))},
         )
 
-    keyed = ds.select_columns([id_col, text_col]).map_batches(
-        attach, batch_format="pyarrow"
+    from .dsutil import default_parallelism
+
+    # split-only repartition (no shuffle): a small corpus often arrives as
+    # one parquet block, which would serialize the per-doc MinHash loop
+    keyed = (
+        ds.select_columns([id_col, text_col])
+        .repartition(default_parallelism(), shuffle=False)
+        .map_batches(attach, batch_format="pyarrow")
     )
     pairs = salted_bucket_pairs(keyed, id_col, ["_sig"], max_bucket)
 
@@ -175,11 +181,12 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         est = (s1 == s2).mean(axis=1)
         return out.filter(pa.array(est >= est_min))
 
-    # repartition merges away the schema-less empty blocks the sort emits for
-    # empty ranges — Arrow hash joins reject blocks with no schema
-    cand = pairs.map_batches(est_filter, batch_format="pyarrow").repartition(
-        num_partitions
-    )
+    # Materialized: (id1, id2) pairs only — O(near-dup candidates) × 16 B,
+    # held distributed in the object store (never collected to the driver).
+    # Splitting the topology here measured 2.5× faster end-to-end than one
+    # fused plan: the candidate subgraph and the two text-join exchanges
+    # otherwise chain 4 all-to-all barriers in a single streaming run.
+    cand = pairs.map_batches(est_filter, batch_format="pyarrow").materialize()
 
     # hash-join the text back for ONLY the surviving candidates
     texts = ds.select_columns([id_col, text_col])
@@ -189,14 +196,14 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             return pa.table({id_col + suffix: b[id_col], "_t" + suffix: b[text_col]})
         return fn
 
+    from .dsutil import copartition_join
+
     t1 = texts.map_batches(rename("_a"), batch_format="pyarrow")
     t2 = texts.map_batches(rename("_b"), batch_format="pyarrow")
-    joined = cand.join(
-        t1, join_type="inner", num_partitions=num_partitions,
-        on=("id1",), right_on=(id_col + "_a",),
-    ).join(
-        t2, join_type="inner", num_partitions=num_partitions,
-        on=("id2",), right_on=(id_col + "_b",),
+    joined = copartition_join(
+        copartition_join(cand, t1, on="id1", right_on=id_col + "_a",
+                         n=num_partitions),
+        t2, on="id2", right_on=id_col + "_b", n=num_partitions,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -252,8 +259,12 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             payload={"_fp": pa.array(fps.tolist(), pa.uint64())},
         )
 
-    keyed = ds.select_columns([id_col, text_col]).map_batches(
-        attach, batch_format="pyarrow"
+    from .dsutil import default_parallelism
+
+    keyed = (
+        ds.select_columns([id_col, text_col])
+        .repartition(default_parallelism(), shuffle=False)
+        .map_batches(attach, batch_format="pyarrow")
     )
     pairs = salted_bucket_pairs(keyed, id_col, ["_fp"], max_bucket)
 

@@ -102,28 +102,124 @@ def zip_with_index(ds, col: str = "row_number", start: int = 1):
     )
 
 
+def _part_codes(col, n: int) -> np.ndarray:
+    """Per-row partition ids ``hash(key) mod n`` for a string or integer
+    column (nulls → partition 0; they never join anyway)."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        v = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # splitmix64 finalizer: full avalanche so sequential ids spread evenly
+        v = (v ^ (v >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> 27)) * np.uint64(0x94D049BB133111EB)
+        v ^= v >> 31
+        return (v % np.uint64(n)).astype(np.int32)
+    return np.fromiter(
+        (
+            0 if k is None else zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
+            for k in arr.to_pylist()
+        ),
+        dtype=np.int32,
+        count=len(arr),
+    )
+
+
 def hash_partition_by(ds, key: str, n: int | None = None):
     """Co-locate equal ``key`` values in one block via the cheap int-sort
-    exchange (add ``_part = crc32(key) mod n`` → pre-split → sort): the same
+    exchange (add ``_part = hash(key) mod n`` → pre-split → sort): the same
     guarantee a hash shuffle gives, measured faster in Ray 2.49 than both the
     hash-shuffle strategy and a direct string sort. The ``_part`` column is
     left on the output (callers drop or ignore it)."""
-    import zlib
-
     n = n or default_parallelism(multiplier=4)
 
     def add_part(b: pa.Table) -> pa.Table:
-        parts = [
-            zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
-            for k in b[key].to_pylist()
-        ]
-        return b.append_column("_part", pa.array(parts, pa.int32()))
+        return b.append_column(
+            "_part", pa.array(_part_codes(b[key], n), pa.int32())
+        )
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .repartition(n, shuffle=False)
         .sort("_part")
     )
+
+
+def copartition_join(left, right, on: str, right_on: str | None = None,
+                     how: str = "inner", n: int | None = None):
+    """Equi-join two Datasets via ONE cheap int-sort exchange + per-block
+    Acero (pyarrow C++) hash joins, replacing Ray's hash-shuffle join (whose
+    per-partition aggregator actors cost ~10 s of fixed overhead per join in
+    Ray 2.49 regardless of data size).
+
+    Mechanics: each side is widened to the union schema (missing columns
+    null-filled — Arrow null arrays are O(1)) plus a ``_side`` tag and a
+    unified ``_jk`` key column; the tagged union is hash-partitioned on the
+    key (equal keys can never split across blocks: range partition on
+    ``_part`` keeps equal values together), and each block joins its two
+    sides in C++. Streaming and scale-safe: no driver collect, payload
+    crosses the exchange exactly once per side.
+
+    ``how`` ∈ {"inner", "left_outer"}. Output columns: ``on`` (coalesced
+    key, left name), then left payload, then right payload. Column names
+    must be disjoint across sides (key excepted)."""
+    import pyarrow.compute as pc
+
+    right_on = right_on or on
+    ls = left.schema()
+    rs = right.schema()
+    ls = getattr(ls, "base_schema", ls)
+    rs = getattr(rs, "base_schema", rs)
+    lpay = [f for f in ls if f.name != on]
+    rpay = [f for f in rs if f.name != right_on]
+    clash = {f.name for f in lpay} & {f.name for f in rpay}
+    if clash:
+        raise ValueError(f"copartition_join: overlapping payload columns {clash}")
+    key_type = ls.field(on).type
+    out_fields = [pa.field(on, key_type)] + lpay + rpay
+    out_schema = pa.schema(out_fields)
+    lnames = [f.name for f in lpay]
+    rnames = [f.name for f in rpay]
+
+    def widen(key_name: str, side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            m = b.num_rows
+            cols: dict = {"_jk": b[key_name].combine_chunks().cast(key_type)}
+            for f in lpay + rpay:
+                cols[f.name] = (
+                    b[f.name].combine_chunks()
+                    if f.name in b.column_names
+                    else pa.nulls(m, f.type)
+                )
+            cols["_side"] = pa.array(np.full(m, side, np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(widen(on, 0), batch_format="pyarrow").union(
+        right.map_batches(widen(right_on, 1), batch_format="pyarrow")
+    )
+    part = hash_partition_by(tagged, "_jk", n)
+    acero_how = {"inner": "inner", "left_outer": "left outer"}[how]
+
+    def block_join(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {f.name: pa.array([], f.type) for f in out_fields}
+        )
+        if b.num_rows == 0:
+            return empty
+        side = b["_side"]
+        lt = b.filter(pc.equal(side, 0)).select(["_jk"] + lnames)
+        rt = b.filter(pc.equal(side, 1)).select(["_jk"] + rnames)
+        if lt.num_rows == 0:
+            return empty
+        j = lt.join(rt, keys=["_jk"], join_type=acero_how, coalesce_keys=True)
+        j = j.rename_columns([on if c == "_jk" else c for c in j.column_names])
+        return j.select([f.name for f in out_fields]).cast(out_schema)
+
+    return part.map_batches(block_join, batch_size=None, batch_format="pyarrow")
 
 
 def grouped_kernel(ds, key: str, fn: Callable[[pa.Table, np.ndarray, np.ndarray], pa.Table]):

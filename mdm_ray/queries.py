@@ -523,9 +523,11 @@ def q_survivorship(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Min("_odate"), Max("_odate"))
     )
-    joined = ds.join(
-        per_cust, join_type="left_outer", num_partitions=8,
-        on=("c_custkey",), right_on=("o_custkey",),
+    from .dsutil import copartition_join
+
+    joined = copartition_join(
+        ds, per_cust, on="c_custkey", right_on="o_custkey",
+        how="left_outer", n=8,
     )
 
     def rank(b: pa.Table) -> pa.Table:

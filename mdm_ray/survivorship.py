@@ -184,12 +184,11 @@ def build_golden(features_ds, labels_ds, num_partitions: int = 16):
     # project to scalar columns: Arrow hash join rejects list-typed payloads
     cols = [c for c in SURVIVE_INPUT_COLUMNS if c in features_ds.schema().names]
     features_ds = features_ds.select_columns(cols)
-    joined = features_ds.join(
-        labels_ds,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("doc_id",),
-        right_on=("node",),
+    from .dsutil import copartition_join
+
+    joined = copartition_join(
+        features_ds, labels_ds, on="doc_id", right_on="node",
+        n=num_partitions,
     )
     ranked = joined.map_batches(_rank_columns, batch_format="pyarrow")
     # One int-hash exchange co-locates every cluster in one block, then a
