@@ -54,9 +54,15 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     # executes): the wide pair table is never materialized; every candidate
     # pair is evaluated (bound test or full kernels — output-identical to
     # full scoring, see test_retain_prefilter_output_identical)
+    from mdm_ray.blocking import hot_key_counts
     from mdm_ray.pairs import build_scored
 
-    scored = build_scored(build_blocked(feats, cfg), cfg).materialize()
+    census = hot_key_counts(
+        feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4)
+    )
+    scored = build_scored(
+        build_blocked(feats, cfg, census=census), cfg, census=census
+    ).materialize()
     retained = scored.count()
     t_score = time.time()
     from mdm_ray.cluster import build_edges, connected_components, init_labels
@@ -83,7 +89,7 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
             return pa.table({"n": pa.array([total], pa.int64())})
 
         candidates = int(
-            _partition_by_key(build_blocked(feats, cfg))
+            _partition_by_key(build_blocked(feats, cfg, census=census))
             .map_batches(count_pairs, batch_size=None, batch_format="pyarrow")
             .sum("n")
         )
@@ -137,6 +143,16 @@ def main() -> int:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--repeat", type=int, default=1,
                     help="repetitions per measurement; best kept (variance guard)")
+    ap.add_argument("--scale-customers", type=int,
+                    default=int(os.environ.get("GRAFT_SCALE_CUSTOMERS", "60000")),
+                    help="--scaling: ER fixture size. Default 60k (~145k docs, "
+                         "~29M candidate pairs): large enough that per-stage "
+                         "compute dominates the fixed exchange/driver terms "
+                         "(Amdahl) the way it would at production scale")
+    ap.add_argument("--scale-repeat", type=int, default=2,
+                    help="--scaling: repetitions per cpu-count invocation; "
+                         "best kept (cold-start/host-noise guard). The "
+                         "cross-round statistic stays the MEDIAN")
     ap.add_argument("--rounds", type=int, default=3,
                     help="--scaling: number of interleaved lo/hi rounds; the "
                          "reported efficiency is the MEDIAN round")
@@ -160,13 +176,14 @@ def main() -> int:
 
         def run_one(cpus: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                       GRAFT_ER_CUSTOMERS=str(args.customers))
+                       GRAFT_ER_CUSTOMERS=str(args.scale_customers))
             if known_candidates:
                 env["GRAFT_CANDIDATES"] = str(known_candidates[0])
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--er-only",
                  "--num-cpus", str(cpus), "--sf-dir", args.sf_dir,
-                 "--repeat", str(args.repeat)],
+                 "--customers", str(args.scale_customers),
+                 "--repeat", str(max(args.repeat, args.scale_repeat))],
                 capture_output=True, text=True, env=env, check=True,
             )
             # raylet may interleave warnings on stdout: take the last JSON line
@@ -210,7 +227,7 @@ def main() -> int:
                 median(r["eff_scoring"] for r in rounds), 3),
             "rounds": rounds,
             "sf": args.sf_dir,
-            "customers": args.customers,
+            "customers": args.scale_customers,
         }))
         return 0
 

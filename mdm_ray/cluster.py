@@ -165,23 +165,42 @@ def _apply_updates(labels, unodes: pa.Array, ulabels: pa.Array):
     return labels.map_batches(app, batch_format="pyarrow")
 
 
+def _take_table(ds, cap: int) -> pa.Table | None:
+    """First ≤ cap rows as ONE Arrow table; None if the stream holds more.
+    ``limit`` early-stops the execution and rows move as Arrow blocks —
+    never per-row Python dicts (``.take()`` cost ~0.5 s per 100k rows)."""
+    import ray
+
+    refs = ds.limit(cap + 1).to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_columns > 0]
+    nonempty = [t for t in tables if t.num_rows > 0]
+    if not nonempty:
+        if not tables:  # no schema'd block at all: treat as empty, 0 columns
+            return pa.table({})
+        return tables[0]
+    t = pa.concat_tables(nonempty, promote_options="default")
+    if t.num_rows > cap:
+        return None
+    return t.combine_chunks()
+
+
 def _take_frontier(labels_with_changed, cap: int):
-    """(nodes, labels) of changed rows if ≤ cap, else None (stay distributed).
-    ``take(cap+1)`` streams with an early stop — bounded driver memory."""
-    rows = (
+    """(nodes, labels) of changed rows if ≤ cap, else None (stay distributed;
+    an EMPTY frontier comes back as zero-length arrays, ending the loop).
+    Node/label types are whatever the table holds (type-agnostic: int64
+    nodes ride the broadcast path unchanged)."""
+    t = _take_table(
         labels_with_changed.map_batches(
             lambda b: b.filter(pc.equal(b["changed"], 1)).select(["node", "label"]),
             batch_format="pyarrow",
-        ).take(cap + 1)
+        ),
+        cap,
     )
-    if len(rows) > cap:
+    if t is None:
         return None
-    # type-inferred (NOT forced to string): CC is node/label-type-agnostic —
-    # int64 nodes ride the broadcast path unchanged
-    return (
-        pa.array([r["node"] for r in rows]),
-        pa.array([r["label"] for r in rows]),
-    )
+    if t.num_rows == 0:
+        return pa.array([], pa.string()), pa.array([], pa.string())
+    return t["node"], t["label"]
 
 
 def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -247,24 +266,21 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
     for it in range(cfg.max_cc_iterations):
         if frontier is not None:
             fnodes, flabels = frontier
-            partials = _frontier_partial_msgs(edges, fnodes, flabels).take(
-                cfg.cc_frontier_broadcast_cap + 1
+            ptab = _take_table(
+                _frontier_partial_msgs(edges, fnodes, flabels),
+                cfg.cc_frontier_broadcast_cap,
             )
-            if len(partials) > cfg.cc_frontier_broadcast_cap:
+            if ptab is None:
                 frontier = None  # adjacency fan-out too large — full exchange
                 continue
-            if not partials:
+            if ptab.num_rows == 0:
                 break
-            best: dict[str, str] = {}
-            for r in partials:
-                lbl = r["label"]
-                node = r["node"]
-                if node not in best or lbl < best[node]:
-                    best[node] = lbl
+            # vectorized driver-side merge of the per-block combiner minima
+            best = ptab.group_by("node").aggregate([("label", "min")])
             new_labels = _apply_updates(
                 labels,
-                pa.array(list(best.keys())),
-                pa.array(list(best.values())),
+                best["node"].combine_chunks(),
+                best["label_min"].combine_chunks(),
             ).materialize()
         else:
             if it == 0 and labels_are_seed:
@@ -279,14 +295,12 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
                 msgs = joined.map_batches(msg_rows, batch_format="pyarrow")
 
             union = msgs.union(labels.map_batches(self_rows, batch_format="pyarrow"))
-            # ONE execution per iteration: sort + grouped-min + repartition
-            # fused. The repartition also merges away the schema-less empty
-            # blocks the hash join emits for empty partitions (they crash
-            # downstream joins).
+            # ONE execution per iteration: sort + grouped-min fused. (No
+            # trailing repartition: _min_label_block emits a typed table even
+            # for empty blocks, so every downstream consumer sees a schema.)
             new_labels = (
                 union.sort("node")
                 .map_batches(_min_label_block, batch_size=None, batch_format="pyarrow")
-                .repartition(cfg.cc_num_partitions)
                 .materialize()
             )
         frontier = _take_frontier(new_labels, cfg.cc_frontier_broadcast_cap)

@@ -93,11 +93,14 @@ class EngineConfig:
     # Delta-propagation switch: when an iteration changes fewer labels than
     # this cap, the next iteration broadcasts the changed (node, label) set
     # (ray.put) and applies it with two cheap map passes instead of the full
-    # join + sort exchange. Bounded driver memory (cap × ~100 B); larger
-    # frontiers keep the distributed path. ER duplicate graphs converge to a
-    # tiny frontier after one pass, so iterations 2+ cost ~0.5 s instead of
-    # a full shuffle round.
-    cc_frontier_broadcast_cap: int = 100_000
+    # join + sort exchange. Bounded driver memory (cap × ~100 B ≈ 50 MB —
+    # the standard broadcast-small-side bound; rows move as Arrow blocks,
+    # never Python dicts); larger frontiers keep the distributed path. ER
+    # duplicate graphs change ~60% of nodes in the first pass and almost
+    # nothing after, so with this cap every iteration past the first full
+    # exchange rides the broadcast path; each costs ~0.5 s instead of a
+    # multi-second shuffle round.
+    cc_frontier_broadcast_cap: int = 500_000
 
     def __post_init__(self) -> None:
         if self.weight_profile == "5way":
