@@ -35,23 +35,40 @@ def _adapt_documents_to_spans(sf_dir: str):
     from mdm_ray.schema import DOCS_SCHEMA
 
     def to_docs(b: pa.Table) -> pa.Table:
-        doc_ids, spans = [], []
-        for did, text, lang, source in zip(
-            b["doc_id"].to_pylist(),
-            b["text"].to_pylist(),
-            b["lang"].to_pylist(),
-            b["source"].to_pylist(),
-        ):
-            toks = (text or "").split()
-            row = [
-                {"kind": "full_name", "text": " ".join(toks[:3]), "media_ref": "", "offset": 0},
-                {"kind": "address", "text": " ".join(toks[3:10]), "media_ref": "", "offset": 1},
-                {"kind": "city", "text": lang or "", "media_ref": "", "offset": 2},
-                {"kind": "company", "text": source or "", "media_ref": "", "offset": 3},
-            ]
-            doc_ids.append(f"t-{did:09d}")
-            spans.append(row)
-        return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans}, schema=DOCS_SCHEMA)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = b.num_rows
+        doc_ids = pc.binary_join_element_wise(
+            pa.array(np.full(n, "t-", object)),
+            pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 9, "0"),
+            "",
+        ).combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(b["text"], ""))
+        head = pc.binary_join(pc.list_slice(toks, 0, 3), " ").combine_chunks()
+        tail = pc.binary_join(pc.list_slice(toks, 3, 10), " ").combine_chunks()
+        lang = pc.fill_null(b["lang"], "").combine_chunks()
+        source = pc.fill_null(b["source"], "").combine_chunks()
+        # interleave the 4 per-row span texts: concat then permuted take
+        all_texts = pa.concat_arrays(
+            a.chunk(0) if isinstance(a, pa.ChunkedArray) else a
+            for a in (head, tail, lang, source)
+        )
+        perm = (np.arange(n)[:, None] + np.array([0, n, 2 * n, 3 * n])[None, :]).ravel()
+        span_type = DOCS_SCHEMA.field("spans").type.value_type
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(np.tile(["full_name", "address", "city", "company"], n)),
+                all_texts.take(pa.array(perm, pa.int64())),
+                pa.array(np.full(4 * n, "", object)),
+                pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+            ],
+            fields=list(span_type),
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 4 * n + 4, 4, dtype=np.int32), pa.int32()), struct
+        )
+        return pa.Table.from_arrays([doc_ids, spans], schema=DOCS_SCHEMA)
 
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
         to_docs, batch_format="pyarrow"

@@ -202,40 +202,58 @@ def _part_pairs(sf_dir: str):
     return _read(sf_dir, "part").select_columns(["p_partkey", "p_name", "p_brand"])
 
 
+def _salted_brand_pairs(sf_dir: str, cap: int = 256):
+    """Canonical (partkey1 < partkey2) within-brand part pairs via the ER
+    salted-pair machinery: a brand bigger than ``cap`` rows is chunk-pair
+    split, so one 800-row brand becomes ~10 independent pair groups instead
+    of one task — the fused grouped_kernel version ran one task per brand
+    (25 tasks total) and left most of a 32-CPU node idle."""
+    from .dedup import _attach_bucket_keys, salted_bucket_pairs
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys = [[f"b:{v}"] for v in b["p_brand"].to_pylist()]
+        return _attach_bucket_keys(
+            b, id_col="p_partkey", keys_fn=lambda _: keys,
+            payload={"_name": b["p_name"], "_brand": b["p_brand"]},
+        )
+
+    keyed = _part_pairs(sf_dir).map_batches(attach, batch_format="pyarrow")
+    return salted_bucket_pairs(keyed, "p_partkey", ["_name", "_brand"], cap)
+
+
 def q_fuzzy_pairs(sf_dir: str):
-    def score(batch, ii, jj):
-        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
-        names = batch["p_name"].to_pylist()
-        swap = keys[ii] > keys[jj]
-        a = np.where(swap, jj, ii)
-        b_ = np.where(swap, ii, jj)
-        na = [names[i] for i in a]
-        nb = [names[i] for i in b_]
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "partkey1": pa.array([], pa.int64()),
+                    "partkey2": pa.array([], pa.int64()),
+                    "p_brand": pa.array([], pa.string()),
+                    "name_edit_sim": pa.array([], pa.float64()),
+                    "name_token_score": pa.array([], pa.float64()),
+                }
+            )
+        na = batch["1__name"].to_pylist()
+        nb = batch["2__name"].to_pylist()
         edit = _round(edit_similarity_batch(na, nb))
-        tok = _round(token_overlap_batch(na, nb))
         keep = edit > 0.5
+        # token overlap only for the ~16% of pairs surviving the edit filter
+        tok = np.zeros(len(na))
+        ki = np.nonzero(keep)[0]
+        tok[ki] = token_overlap_batch([na[i] for i in ki], [nb[i] for i in ki])
         return pa.table(
             {
-                "partkey1": pa.array(keys[a], pa.int64()),
-                "partkey2": pa.array(keys[b_], pa.int64()),
-                "p_brand": batch["p_brand"].take(pa.array(a, pa.int64())),
+                "partkey1": batch["1_p_partkey"],
+                "partkey2": batch["2_p_partkey"],
+                "p_brand": batch["1__brand"],
                 "name_edit_sim": pa.array(edit, pa.float64()),
-                "name_token_score": pa.array(tok, pa.float64()),
+                "name_token_score": pa.array(_round(tok), pa.float64()),
             }
         ).filter(pa.array(keep))
 
-    def empty(batch, *_):
-        return pa.table(
-            {
-                "partkey1": pa.array([], pa.int64()),
-                "partkey2": pa.array([], pa.int64()),
-                "p_brand": batch["p_brand"].slice(0, 0),
-                "name_edit_sim": pa.array([], pa.float64()),
-                "name_token_score": pa.array([], pa.float64()),
-            }
-        )
-
-    return grouped_kernel(_part_pairs(sf_dir), "p_brand", _pair_kernel(score, empty))
+    return _salted_brand_pairs(sf_dir).map_batches(
+        score, batch_size=32768, batch_format="pyarrow"
+    )
 
 
 SQL_FUZZY_PAIRS = """
@@ -253,34 +271,32 @@ WHERE round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE /
 
 
 def q_jaro_pairs(sf_dir: str):
-    def score(batch, ii, jj):
-        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
-        names = batch["p_name"].to_pylist()
-        swap = keys[ii] > keys[jj]
-        a = np.where(swap, jj, ii)
-        b_ = np.where(swap, ii, jj)
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "partkey1": pa.array([], pa.int64()),
+                    "partkey2": pa.array([], pa.int64()),
+                    "jw_sim": pa.array([], pa.float64()),
+                }
+            )
         jw = _round(
-            jaro_winkler_batch([names[i] for i in a], [names[i] for i in b_])
+            jaro_winkler_batch(
+                np.asarray(batch["1__name"].to_pylist(), dtype=object),
+                np.asarray(batch["2__name"].to_pylist(), dtype=object),
+            )
         )
-        keep = jw > 0.8
         return pa.table(
             {
-                "partkey1": pa.array(keys[a], pa.int64()),
-                "partkey2": pa.array(keys[b_], pa.int64()),
+                "partkey1": batch["1_p_partkey"],
+                "partkey2": batch["2_p_partkey"],
                 "jw_sim": pa.array(jw, pa.float64()),
             }
-        ).filter(pa.array(keep))
+        ).filter(pa.array(jw > 0.8))
 
-    def empty(batch, *_):
-        return pa.table(
-            {
-                "partkey1": pa.array([], pa.int64()),
-                "partkey2": pa.array([], pa.int64()),
-                "jw_sim": pa.array([], pa.float64()),
-            }
-        )
-
-    return grouped_kernel(_part_pairs(sf_dir), "p_brand", _pair_kernel(score, empty))
+    return _salted_brand_pairs(sf_dir).map_batches(
+        score, batch_size=32768, batch_format="pyarrow"
+    )
 
 
 SQL_JARO_PAIRS = """

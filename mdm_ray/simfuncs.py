@@ -101,11 +101,41 @@ def levenshtein_batch(a: list[str | None], b: list[str | None], max_len: int = _
     return result
 
 
-def edit_similarity_batch(a: list[str | None], b: list[str | None]) -> np.ndarray:
+def _bag_distance_bound(sa: list[str], sb: list[str]) -> np.ndarray:
+    """Vectorized bag-distance LOWER bound on Levenshtein: per pair,
+    ``max(|chars of a unmatched in b|, |chars of b unmatched in a|)`` over
+    64-bucket character histograms (``code & 63``; bucket collisions only
+    LOOSEN the bound, never break it). O(total chars), no DP."""
+    n = len(sa)
+    # same truncation as levenshtein_batch so the bound can never exceed
+    # the DP distance the unpruned path would have computed
+    ca, la = _encode_padded(sa, _MAX_LEV_LEN)
+    cb, lb = _encode_padded(sb, _MAX_LEV_LEN)
+
+    def hist(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        valid = np.arange(codes.shape[1])[None, :] < lens[:, None]
+        rows = np.nonzero(valid)[0]
+        flat = rows * 64 + (codes[valid] & 63)
+        return np.bincount(flat, minlength=n * 64).reshape(n, 64).astype(np.int32)
+
+    d = hist(ca, la) - hist(cb, lb)
+    pos = np.clip(d, 0, None).sum(axis=1)
+    neg = np.clip(-d, 0, None).sum(axis=1)
+    return np.maximum(pos, neg).astype(np.float64)
+
+
+def edit_similarity_batch(a: list[str | None], b: list[str | None],
+                          prune_below: float | None = None) -> np.ndarray:
     """1 - dist/max(len) clamped to [0,1]; 0.0 when either side empty/None.
 
     Matches bigquery_utils.py:354-359 (NULL guard) and the streaming clamp at
     streaming_processor.py:192-194.
+
+    ``prune_below``: callers that only consume similarities STRICTLY ABOVE
+    this cutoff can skip the DP for pairs the bag-distance bound proves are
+    at/below it. Pruned entries hold an UPPER BOUND ≤ the cutoff (not the
+    exact similarity) — only pass this when downstream filters on
+    ``sim > prune_below``.
     """
     n = len(a)
     out = np.zeros(n, dtype=np.float64)
@@ -115,8 +145,19 @@ def edit_similarity_batch(a: list[str | None], b: list[str | None]) -> np.ndarra
     idx = np.nonzero(valid)[0]
     sa = [a[i] for i in idx]
     sb = [b[i] for i in idx]
-    dist = levenshtein_batch(sa, sb).astype(np.float64)
     mx = np.maximum([len(s) for s in sa], [len(s) for s in sb]).astype(np.float64)
+    if prune_below is not None and len(sa) >= 64:
+        sim_ub = np.clip(1.0 - _bag_distance_bound(sa, sb) / mx, 0.0, 1.0)
+        live = sim_ub > prune_below
+        out[idx] = np.where(live, 0.0, sim_ub)
+        li = np.nonzero(live)[0]
+        if len(li):
+            dist = levenshtein_batch(
+                [sa[i] for i in li], [sb[i] for i in li]
+            ).astype(np.float64)
+            out[idx[li]] = np.clip(1.0 - dist / mx[li], 0.0, 1.0)
+        return out
+    dist = levenshtein_batch(sa, sb).astype(np.float64)
     out[idx] = np.clip(1.0 - dist / mx, 0.0, 1.0)
     return out
 
