@@ -112,95 +112,52 @@ def _min_label_block(batch: pa.Table):
     )
 
 
-def _frontier_partial_msgs(edges, fnodes: pa.Array, flabels: pa.Array):
-    """Per edge block: the minimum frontier label pushed to each src whose dst
-    changed — vectorized ``index_in`` lookup + local group-min, so each block
-    emits at most one row per distinct adjacent src (the classic combiner
-    before the driver-side merge)."""
-    import ray
-
-    ref = ray.put((fnodes, flabels))
-
-    def part(batch: pa.Table) -> pa.Table:
-        fn, fl = ray.get(ref)
-        idx = pc.index_in(batch["dst"], value_set=fn)
-        hit = pc.is_valid(idx)
-        t = pa.table(
-            {
-                "node": batch["src"].filter(hit),
-                "label": fl.take(idx.filter(hit)),
-            }
-        )
-        if t.num_rows == 0:
-            return t
-        return t.group_by("node").aggregate([("label", "min")]).rename_columns(
-            ["node", "label"]
-        )
-
-    return edges.map_batches(part, batch_format="pyarrow")
+def _block_refs(mat_ds) -> list:
+    """Arrow-block object refs of a materialized Dataset (no execution)."""
+    return [
+        ref
+        for bundle in mat_ds.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
 
 
-def _apply_updates(labels, unodes: pa.Array, ulabels: pa.Array):
-    """min-merge broadcast updates into the partitioned label table; emits a
-    ``changed`` flag column (string-ordered compare, same as the grouped min)."""
-    import ray
-
-    ref = ray.put((unodes, ulabels))
-
-    def app(batch: pa.Table) -> pa.Table:
-        un, ul = ray.get(ref)
-        idx = pc.index_in(batch["node"], value_set=un)
-        hit = pc.is_valid(idx)
-        cand = ul.take(pc.fill_null(idx, 0))
-        cur = batch["label"]
-        better = pc.and_(hit, pc.less(cand, cur))
-        return pa.table(
-            {
-                "node": batch["node"],
-                "label": pc.if_else(better, cand, cur),
-                "changed": pc.cast(better, pa.int64()),
-            }
-        )
-
-    return labels.map_batches(app, batch_format="pyarrow")
-
-
-def _take_table(ds, cap: int) -> pa.Table | None:
-    """First ≤ cap rows as ONE Arrow table; None if the stream holds more.
-    ``limit`` early-stops the execution and rows move as Arrow blocks —
-    never per-row Python dicts (``.take()`` cost ~0.5 s per 100k rows)."""
-    import ray
-
-    refs = ds.limit(cap + 1).to_arrow_refs()
-    tables = [t for t in ray.get(refs) if t.num_columns > 0]
-    nonempty = [t for t in tables if t.num_rows > 0]
-    if not nonempty:
-        if not tables:  # no schema'd block at all: treat as empty, 0 columns
-            return pa.table({})
-        return tables[0]
-    t = pa.concat_tables(nonempty, promote_options="default")
-    if t.num_rows > cap:
-        return None
-    return t.combine_chunks()
-
-
-def _take_frontier(labels_with_changed, cap: int):
-    """(nodes, labels) of changed rows if ≤ cap, else None (stay distributed;
-    an EMPTY frontier comes back as zero-length arrays, ending the loop).
-    Node/label types are whatever the table holds (type-agnostic: int64
-    nodes ride the broadcast path unchanged)."""
-    t = _take_table(
-        labels_with_changed.map_batches(
-            lambda b: b.filter(pc.equal(b["changed"], 1)).select(["node", "label"]),
-            batch_format="pyarrow",
-        ),
-        cap,
+def _partials_block(block: pa.Table, fr) -> tuple[int, pa.Table]:
+    """Per-edge-block combiner: min frontier label pushed to each adjacent
+    src (task twin of the old _frontier_partial_msgs map)."""
+    fn, fl = fr
+    idx = pc.index_in(block["dst"], value_set=fn)
+    hit = pc.is_valid(idx)
+    t = pa.table(
+        {"node": block["src"].filter(hit), "label": fl.take(idx.filter(hit))}
     )
-    if t is None:
-        return None
     if t.num_rows == 0:
-        return pa.array([], pa.string()), pa.array([], pa.string())
-    return t["node"], t["label"]
+        return 0, t
+    g = t.group_by("node").aggregate([("label", "min")]).rename_columns(
+        ["node", "label"]
+    )
+    return g.num_rows, g
+
+
+def _apply_block(block: pa.Table, upd) -> tuple[pa.Table, int, pa.Table]:
+    """Min-merge broadcast updates into one label block; returns
+    (new_block, n_changed, changed_rows)."""
+    un, ul = upd
+    idx = pc.index_in(block["node"], value_set=un)
+    hit = pc.is_valid(idx)
+    cand = ul.take(pc.fill_null(idx, 0))
+    cur = block["label"]
+    better = pc.and_(hit, pc.less(cand, cur))
+    new = pa.table({"node": block["node"], "label": pc.if_else(better, cand, cur)})
+    changed = new.filter(better)
+    return new, changed.num_rows, changed
+
+
+def _strip_block(block: pa.Table) -> tuple[pa.Table, int, pa.Table]:
+    """Post-exchange block: (labels without the changed flag, n_changed,
+    changed rows)."""
+    out = block.select(["node", "label"])
+    changed = out.filter(pc.equal(block["changed"], 1))
+    return out, changed.num_rows, changed
 
 
 def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -228,10 +185,27 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
     label inputs, where the shortcut would propagate wrong labels and edges
     whose dst lacks a label row would inject ghost labels the join filters.
     """
+    import ray
+    import ray.data
+
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return labels_ds.select_columns(["node", "label"])
-    labels = labels_ds.materialize()
+    keepalive = [edges]  # hold materialized datasets so block refs stay valid
+    edge_refs = _block_refs(edges)
+    labels_mat = labels_ds.materialize()
+    keepalive.append(labels_mat)
+    label_refs = _block_refs(labels_mat)
+    cap = cfg.cc_frontier_broadcast_cap
+
+    # Driver-coordinated delta rounds run as RAW Ray tasks over the
+    # materialized block refs: each Dataset execution carries ~0.3-0.5 s of
+    # executor startup, and a CC run makes ~8 tiny passes (frontier probes,
+    # partial-message combiners, broadcast applies) — as tasks they cost
+    # ~50 ms each. The all-to-all iterations stay on the Dataset API.
+    partials_task = ray.remote(num_returns=2)(_partials_block)
+    apply_task = ray.remote(num_returns=3)(_apply_block)
+    strip_task = ray.remote(num_returns=3)(_strip_block)
 
     def msg_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -262,39 +236,54 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
             }
         )
 
-    frontier: tuple[pa.Array, pa.Array] | None = None
+    def gather_frontier(outs) -> pa.Table | None:
+        """(count, table) task outputs → one frontier table, None if > cap.
+        Counts come back first (ints); tables are fetched only under the cap,
+        so driver memory stays bounded at ~cap rows."""
+        counts = ray.get([o[0] for o in outs])
+        total = sum(counts)
+        if total > cap:
+            return None
+        tabs = ray.get([o[1] for o, c in zip(outs, counts) if c > 0])
+        if not tabs:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "label": pa.array([], pa.string())})
+        return pa.concat_tables(tabs, promote_options="default").combine_chunks()
+
+    frontier: pa.Table | None = None
     for it in range(cfg.max_cc_iterations):
         if frontier is not None:
-            fnodes, flabels = frontier
-            ptab = _take_table(
-                _frontier_partial_msgs(edges, fnodes, flabels),
-                cfg.cc_frontier_broadcast_cap,
+            fref = ray.put(
+                (frontier["node"].combine_chunks(), frontier["label"].combine_chunks())
             )
+            outs = [partials_task.remote(r, fref) for r in edge_refs]
+            ptab = gather_frontier(outs)
             if ptab is None:
                 frontier = None  # adjacency fan-out too large — full exchange
                 continue
             if ptab.num_rows == 0:
                 break
-            # vectorized driver-side merge of the per-block combiner minima
             best = ptab.group_by("node").aggregate([("label", "min")])
-            new_labels = _apply_updates(
-                labels,
-                best["node"].combine_chunks(),
-                best["label_min"].combine_chunks(),
-            ).materialize()
+            uref = ray.put(
+                (best["node"].combine_chunks(), best["label_min"].combine_chunks())
+            )
+            outs = [apply_task.remote(r, uref) for r in label_refs]
+            label_refs = [o[0] for o in outs]
+            frontier = gather_frontier([(o[1], o[2]) for o in outs])
         else:
+            labels_cur = ray.data.from_arrow_refs(label_refs)
             if it == 0 and labels_are_seed:
                 msgs = edges.map_batches(first_msgs, batch_format="pyarrow")
             else:
                 from .dsutil import copartition_join
 
                 joined = copartition_join(
-                    edges, labels, on="dst", right_on="node",
+                    edges, labels_cur, on="dst", right_on="node",
                     n=cfg.cc_num_partitions,
                 )
                 msgs = joined.map_batches(msg_rows, batch_format="pyarrow")
 
-            union = msgs.union(labels.map_batches(self_rows, batch_format="pyarrow"))
+            union = msgs.union(labels_cur.map_batches(self_rows, batch_format="pyarrow"))
             # ONE execution per iteration: sort + grouped-min fused. (No
             # trailing repartition: _min_label_block emits a typed table even
             # for empty blocks, so every downstream consumer sees a schema.)
@@ -303,8 +292,10 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
                 .map_batches(_min_label_block, batch_size=None, batch_format="pyarrow")
                 .materialize()
             )
-        frontier = _take_frontier(new_labels, cfg.cc_frontier_broadcast_cap)
-        labels = new_labels.drop_columns(["changed"])
-        if frontier is not None and len(frontier[0]) == 0:
+            keepalive.append(new_labels)
+            outs = [strip_task.remote(r) for r in _block_refs(new_labels)]
+            label_refs = [o[0] for o in outs]
+            frontier = gather_frontier([(o[1], o[2]) for o in outs])
+        if frontier is not None and frontier.num_rows == 0:
             break
-    return labels.materialize()
+    return ray.data.from_arrow_refs(label_refs)

@@ -186,10 +186,39 @@ def build_golden(features_ds, labels_ds, num_partitions: int = 16):
     features_ds = features_ds.select_columns(cols)
     from .dsutil import copartition_join
 
-    joined = copartition_join(
-        features_ds, labels_ds, on="doc_id", right_on="node",
-        n=num_partitions,
-    )
+    # Size-adaptive join (the classic broadcast-hash vs shuffle-join switch):
+    # the label table is one (node, label) row per doc — when it fits the
+    # broadcast cap (~500k rows ≈ 50 MB), ship it once via ray.put and attach
+    # labels with a vectorized index_in per features block, saving the whole
+    # doc_id exchange. Beyond the cap (production scale) take the
+    # co-partitioned join.
+    labels_mat = labels_ds.materialize()
+    if labels_mat.count() <= 500_000:
+        import ray
+
+        from .cluster import _block_refs
+
+        ltab = pa.concat_tables(
+            [t for t in ray.get(_block_refs(labels_mat)) if t.num_rows],
+            promote_options="default",
+        ).combine_chunks()
+        lref = ray.put((ltab["node"], ltab["label"]))
+
+        def attach_label(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            nodes, labs = ray.get(lref)
+            idx = pc.index_in(b["doc_id"], value_set=nodes)
+            hit = pc.is_valid(idx)
+            lab = labs.take(pc.fill_null(idx, 0))
+            return b.append_column("label", lab).filter(hit)
+
+        joined = features_ds.map_batches(attach_label, batch_format="pyarrow")
+    else:
+        joined = copartition_join(
+            features_ds, labels_mat, on="doc_id", right_on="node",
+            n=num_partitions,
+        )
     ranked = joined.map_batches(_rank_columns, batch_format="pyarrow")
     # One int-hash exchange co-locates every cluster in one block, then a
     # single-threaded Acero (pyarrow C++) hash aggregate computes all 13
