@@ -131,10 +131,18 @@ class BlockKeyEmitter:
             if c in batch.column_names
         ]
         rows = batch.select(key_cols).to_pylist()
+        extra = None
+        if getattr(self.cfg, "extra_strategies", ()):
+            from .strategies import extra_blocking_keys
+
+            extra = extra_blocking_keys(batch, self.cfg)
         key_lists: list[list[str]] = []
         hash_lists: list[list[int]] = []
-        for row in rows:
-            keys = sorted(set(self.keys_for_row(row)))
+        for i, row in enumerate(rows):
+            base = self.keys_for_row(row)
+            if extra is not None:
+                base = base + list(extra[i])
+            keys = sorted(set(base))
             key_lists.append(keys)
             # ascending-hash order: the dedup total order pairs.py relies on
             hash_lists.append(sorted(key_hash(k) for k in keys))
@@ -271,7 +279,7 @@ def explode_blocked(keyed_features_ds, payload_cols: list[str] | None = None):
     + key_hashes."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        cols = payload_cols or [c for c in SCORING_FIELDS if c in batch.column_names]
+        cols = [c for c in (payload_cols or SCORING_FIELDS) if c in batch.column_names]
         kl = batch["block_keys"].combine_chunks()
         parent = pc.list_parent_indices(kl)
         taken = batch.select(cols + ["key_hashes"]).take(parent)
@@ -315,10 +323,12 @@ import functools
 
 @functools.lru_cache(maxsize=4)
 def _cached_emitter(num_perm: int, shingle_k: int, bands: int,
-                    max_block: int, use_mp: bool, use_media: bool) -> BlockKeyEmitter:
+                    max_block: int, use_mp: bool, use_media: bool,
+                    extra_strategies: tuple = ()) -> BlockKeyEmitter:
     cfg = EngineConfig(
         lsh_num_perm=num_perm, lsh_shingle_k=shingle_k, lsh_bands=bands,
         max_block_size=max_block, use_metaphone_key=use_mp, use_media_ref_key=use_media,
+        extra_strategies=extra_strategies,
     )
     return BlockKeyEmitter(cfg)
 
@@ -330,6 +340,7 @@ def emit_keys_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.T
     em = _cached_emitter(
         cfg.lsh_num_perm, cfg.lsh_shingle_k, cfg.lsh_bands,
         cfg.max_block_size, cfg.use_metaphone_key, cfg.use_media_ref_key,
+        getattr(cfg, "extra_strategies", ()),
     )
     return em(batch)
 
@@ -349,7 +360,12 @@ def build_blocked(features_ds, cfg: EngineConfig = DEFAULT_CONFIG, skip_salting:
     sch = features_ds.schema()
     if "block_keys" not in (sch.names if sch is not None else []):
         features_ds = attach_block_keys(features_ds, cfg)
-    blocked = explode_blocked(features_ds)
+    payload = None
+    if getattr(cfg, "extra_strategies", ()):
+        from .strategies import extra_pair_columns
+
+        payload = SCORING_FIELDS + extra_pair_columns(cfg)
+    blocked = explode_blocked(features_ds, payload_cols=payload)
     if skip_salting:
         return blocked.map_batches(
             lambda b: b.append_column("chunk", pa.array([0] * b.num_rows, pa.int32())),

@@ -71,6 +71,11 @@ class EngineConfig:
     # fixture that column IS the ground truth, so scoring on it would be
     # leakage; a no-op when the input carries no customer_id column.
     use_customer_id_exact: bool = False
+    # User-extension surface (SURVEY.md §2.10): extra MatchStrategy objects
+    # (see mdm_ray.strategies). Each contributes optional blocking keys and a
+    # weighted [0,1] pair score summed AFTER the built-in legs; the retain
+    # prefilters budget weight×1 per strategy so pruning stays sound.
+    extra_strategies: tuple = ()
 
     # blocking
     lsh_num_perm: int = 64

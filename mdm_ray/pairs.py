@@ -443,7 +443,7 @@ def build_scored(blocked_ds, cfg=None, retain_filter: bool = True,
                 sorted_batch, a, b, enc, cfg, prefilter=retain_filter
             )
         if not emitted:
-            yield empty_cheap_table()
+            yield empty_cheap_table(cfg)
 
     inter = _partition_by_key(blocked_ds, _plan_from_census(census, cfg)).map_batches(
         emit_and_cheap, batch_size=None, batch_format="pyarrow"

@@ -72,7 +72,8 @@ def run_er_checkpointed(docs_ds, ckpt_root: str | None,
 
     ch = storage.config_hash(
         {"weights": cfg.weights, "lsh": [cfg.lsh_num_perm, cfg.lsh_bands, cfg.lsh_shingle_k],
-         "cap": cfg.max_block_size, "jw": cfg.use_jaro_winkler, "dim": cfg.embedding_dim}
+         "cap": cfg.max_block_size, "jw": cfg.use_jaro_winkler, "dim": cfg.embedding_dim,
+         "extras": [[s.name, s.weight] for s in getattr(cfg, "extra_strategies", ())]}
     )
     resumed = {}
 

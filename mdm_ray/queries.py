@@ -1160,11 +1160,13 @@ def q_er_e2e(sf_dir: str):
         comp = [f"{len(x):04d}|{x}" for x in b["c_name"].to_pylist()]
         return b.append_column("_name_rank", pa.array(comp, pa.string()))
 
+    from .dsutil import copartition_join
+
     golden = (
-        ds.drop_columns(["_bk"])
-        .map_batches(rank, batch_format="pyarrow")
-        .join(labels, join_type="inner", num_partitions=8,
-              on=("c_custkey",), right_on=("l_custkey",))
+        copartition_join(
+            ds.drop_columns(["_bk"]).map_batches(rank, batch_format="pyarrow"),
+            labels, on="c_custkey", right_on="l_custkey", n=8,
+        )
         .groupby("cluster_id")
         .aggregate(Count(), Max("_name_rank"), Max("c_acctbal"), Min("c_custkey"))
     )

@@ -36,6 +36,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import config as C
+from .strategies import extra_weight_sum
 from .config import EngineConfig, DEFAULT_CONFIG
 from .simfuncs import (
     cosine_batch,
@@ -169,6 +170,13 @@ class CheapEncodings:
             self.E64 = None
             self.evalid = np.zeros(n, bool)
             self.E32n = None
+        # NOTE on a tempting non-optimization: dictionary-encoding the string
+        # payload once per block and gathering int32 codes per pair LOOKS
+        # like a bandwidth win, but Arrow ``take`` on a dictionary array
+        # keeps the FULL block dictionary on every output chunk — each
+        # yielded ~32k-pair slice then serializes the whole ~15k-doc string
+        # dictionary again, and the fused pipeline ships ~400 such chunks
+        # (measured 2× SLOWER end-to-end). Plain string gathers stay.
 # float32 quick-cosine safety margin: unit-vector dot over ≤512 dims carries
 # ≤ ~1e-5 rounding error; 5e-4 is ~50× that. Only ever ADDS bound survivors.
 _COS32_MARGIN = 5e-4
@@ -224,7 +232,7 @@ def score_cheap_indexed(batch: pa.Table, a: np.ndarray, b: np.ndarray,
     income = np.where(ratio >= C.INCOME_RATIO_MIN, C.INCOME_SCORE, 0.0)
     business = same_company + same_loc + age + income
 
-    w_string = w["fuzzy"] + w.get("ai", 0.0)
+    w_string = w["fuzzy"] + w.get("ai", 0.0) + extra_weight_sum(cfg)
     if prefilter:
         ub = (w["exact"] * exact + w["vector"] * vec_ub
               + w["business"] * business + w_string)
@@ -256,7 +264,9 @@ def score_cheap_indexed(batch: pa.Table, a: np.ndarray, b: np.ndarray,
         "1_source_system": _acol(batch, "source_system").take(ia),
         "2_source_system": _acol(batch, "source_system").take(ib),
     }
-    for f in _STRING_STAGE_COLS:
+    from .strategies import extra_pair_columns
+
+    for f in _STRING_STAGE_COLS + extra_pair_columns(cfg):
         cols["1_" + f] = _acol(batch, f).take(ia)
         cols["2_" + f] = _acol(batch, f).take(ib)
     cols["exact_score"] = pa.array(exact[alive], pa.float64())
@@ -265,11 +275,13 @@ def score_cheap_indexed(batch: pa.Table, a: np.ndarray, b: np.ndarray,
     return pa.table(cols)
 
 
-def empty_cheap_table() -> pa.Table:
+def empty_cheap_table(cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    from .strategies import extra_pair_columns
+
     cols: dict = {}
     for c in ["1_doc_id", "2_doc_id", "1_source_system", "2_source_system"]:
         cols[c] = pa.array([], pa.string())
-    for f in _STRING_STAGE_COLS:
+    for f in _STRING_STAGE_COLS + extra_pair_columns(cfg):
         cols["1_" + f] = pa.array([], pa.string())
         cols["2_" + f] = pa.array([], pa.string())
     for c in ["exact_score", "vector_score", "business_score"]:
@@ -369,7 +381,7 @@ def score_cheap_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     # so the expensive fuzzy/ai legs run only on the ~40% that can survive.
     # Output-preserving: surviving pairs get the full computation; skipped
     # pairs are dropped in both paths (their true combined ≤ ub ≤ threshold).
-    w_string = w["fuzzy"] + w.get("ai", 0.0)
+    w_string = w["fuzzy"] + w.get("ai", 0.0) + extra_weight_sum(cfg)
     if prefilter and n:
         ub = (w["exact"] * exact + w["vector"] * vector
               + w["business"] * business + w_string)
@@ -388,7 +400,9 @@ def score_cheap_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         "1_source_system": _acol(sub, "1_source_system"),
         "2_source_system": _acol(sub, "2_source_system"),
     }
-    for f in _STRING_STAGE_COLS:
+    from .strategies import extra_pair_columns
+
+    for f in _STRING_STAGE_COLS + extra_pair_columns(cfg):
         cols["1_" + f] = _acol(sub, "1_" + f)
         cols["2_" + f] = _acol(sub, "2_" + f)
     cols["exact_score"] = pa.array(pick(exact), pa.float64())
@@ -409,6 +423,13 @@ def score_strings_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     ~3% of candidate pairs are ultimately retained), so the O(L²) DP sweeps
     see a small fraction of the batch."""
     n = batch.num_rows
+    # stage A ships string payload dictionary-encoded (bandwidth); decode
+    # once per scoring batch so every kernel below sees plain strings
+    for i, f in enumerate(batch.schema):
+        if pa.types.is_dictionary(f.type):
+            batch = batch.set_column(
+                i, f.name, batch[f.name].cast(f.type.value_type)
+            )
     w = cfg.weights
     exact = batch["exact_score"].to_numpy(zero_copy_only=False)
     vector = batch["vector_score"].to_numpy(zero_copy_only=False)
@@ -455,8 +476,11 @@ def score_strings_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         ai_ub_raw = 0.5 * nf_ub + 0.3 * ae_ub + 0.2 * email_jac
         ai_ub = np.where(ai_ub_raw + 1e-6 > 0.4, ai_ub_raw + 1e-6, 0.0)
         # 1e-9 margin: summation-order float drift must never prove a
-        # marginally-retainable pair dead
-        ub2 = cheap + w["fuzzy"] * fuzzy_ub + w_ai * ai_ub + 1e-9
+        # marginally-retainable pair dead. Extra strategies budget their full
+        # weight (scores are contract-bounded to [0,1]).
+        from .strategies import extra_weight_sum
+
+        ub2 = cheap + w["fuzzy"] * fuzzy_ub + w_ai * ai_ub + 1e-9 + extra_weight_sum(cfg)
         alive = np.nonzero(ub2 > C.RETAIN_THRESHOLD)[0]
     else:
         alive = np.arange(n)
@@ -500,6 +524,11 @@ def score_strings_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         + w["business"] * business
         + w_ai * ai
     )
+    extra_cols: dict = {}
+    if getattr(cfg, "extra_strategies", ()):
+        from .strategies import apply_extra_scores
+
+        combined = apply_extra_scores(batch, combined, cfg, extra_cols)
     decision = np.where(
         combined >= C.AUTO_MERGE_THRESHOLD, "auto_merge",
         np.where(combined >= C.HUMAN_REVIEW_THRESHOLD, "human_review", "no_match"),
@@ -524,6 +553,7 @@ def score_strings_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
             "combined_score": pa.array(combined, pa.float64()),
             "match_decision": pa.array(decision.tolist(), pa.string()),
             "confidence_level": pa.array(confidence.tolist(), pa.string()),
+            **extra_cols,
         }
     )
     if not retain_filter:
