@@ -218,13 +218,35 @@ def main() -> int:
             m = len(s) // 2
             return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
+        # Two estimators, both published:
+        # * ratio-of-medians — median throughput per ARM across rounds, then
+        #   one ratio. The two arms run in separate processes minutes apart,
+        #   so their host-noise draws are independent; pairing them per round
+        #   injects that independent noise straight into each ratio, while
+        #   the per-arm median converges on the arm's typical throughput.
+        #   This is the headline number.
+        # * median-of-round-ratios — kept for continuity/transparency.
+        med_lo_s = median(r[f"er_seconds_{lo}cpus"] for r in rounds)
+        med_hi_s = median(r[f"er_seconds_{hi}cpus"] for r in rounds)
+        med_lo_pps = median(r[f"pairs_scored_per_sec_{lo}cpus"] for r in rounds)
+        med_hi_pps = median(r[f"pairs_scored_per_sec_{hi}cpus"] for r in rounds)
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
-            "value": round(median(r["eff_e2e"] for r in rounds), 3),
+            "value": round((med_lo_s / med_hi_s) / 4, 3),
             "unit": "ratio",
-            "methodology": f"median of {args.rounds} interleaved {lo}/{hi}-cpu rounds",
-            "scoring_stage_efficiency": round(
+            "methodology": (
+                f"ratio of median-arm throughputs over {args.rounds} "
+                f"interleaved {lo}/{hi}-cpu rounds (arms have independent "
+                "host-noise draws; per-round pairing amplifies it — see "
+                "BASELINE.md); median-of-round-ratios also reported"
+            ),
+            "scoring_stage_efficiency": round((med_hi_pps / med_lo_pps) / 4, 3),
+            "median_round_eff_e2e": round(median(r["eff_e2e"] for r in rounds), 3),
+            "median_round_eff_scoring": round(
                 median(r["eff_scoring"] for r in rounds), 3),
+            "median_seconds": {f"{lo}cpus": med_lo_s, f"{hi}cpus": med_hi_s},
+            "median_pairs_scored_per_sec": {
+                f"{lo}cpus": med_lo_pps, f"{hi}cpus": med_hi_pps},
             "rounds": rounds,
             "sf": args.sf_dir,
             "customers": args.scale_customers,
