@@ -123,7 +123,13 @@ def _block_refs(mat_ds) -> list:
 
 def _partials_block(block: pa.Table, fr) -> tuple[int, pa.Table]:
     """Per-edge-block combiner: min frontier label pushed to each adjacent
-    src (task twin of the old _frontier_partial_msgs map)."""
+    src (task twin of the old _frontier_partial_msgs map).
+
+    Empty-block guard: Ray's sort emits zero-SCHEMA blocks for empty output
+    partitions and map UDFs pass them through uncalled, so edge datasets fed
+    by a sort-partitioned stage can carry schema-less empties."""
+    if block.num_rows == 0 or "dst" not in block.column_names:
+        return 0, pa.table({})
     fn, fl = fr
     idx = pc.index_in(block["dst"], value_set=fn)
     hit = pc.is_valid(idx)
@@ -141,6 +147,8 @@ def _partials_block(block: pa.Table, fr) -> tuple[int, pa.Table]:
 def _apply_block(block: pa.Table, upd) -> tuple[pa.Table, int, pa.Table]:
     """Min-merge broadcast updates into one label block; returns
     (new_block, n_changed, changed_rows)."""
+    if block.num_rows == 0 or "node" not in block.column_names:
+        return block, 0, pa.table({})
     un, ul = upd
     idx = pc.index_in(block["node"], value_set=un)
     hit = pc.is_valid(idx)
@@ -155,6 +163,8 @@ def _apply_block(block: pa.Table, upd) -> tuple[pa.Table, int, pa.Table]:
 def _strip_block(block: pa.Table) -> tuple[pa.Table, int, pa.Table]:
     """Post-exchange block: (labels without the changed flag, n_changed,
     changed rows)."""
+    if block.num_rows == 0 or "changed" not in block.column_names:
+        return block, 0, pa.table({})
     out = block.select(["node", "label"])
     changed = out.filter(pc.equal(block["changed"], 1))
     return out, changed.num_rows, changed

@@ -24,8 +24,6 @@ uses the same min-common-key-fingerprint trick as the ER blocker (pairs.py).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -83,19 +81,22 @@ def _attach_bucket_keys(batch: pa.Table, *, id_col: str, keys_fn,
     return pa.table(cols)
 
 
-def salted_bucket_pairs(keyed_ds, id_col: str, payload_cols: list[str],
-                        cap: int):
-    """Per-doc (block_keys, key_hashes, payload) → canonical deduped candidate
-    pairs ``(1_*, 2_*)``. Hot buckets are chunk-pair salted (never dropped);
-    cross-bucket duplicates are suppressed by the min-shared-fingerprint rule.
-    Fully lazy after the (cheap) hot-key census."""
+def salted_bucket_scored(keyed_ds, id_col: str, payload_cols: list[str],
+                         cap: int, make_scorer, num_partitions: int | None = None):
+    """Fused variant of ``salted_bucket_pairs``: per partition block, emit
+    canonical pair-index chunks and score them IN PLACE — the wide ``1_*``/
+    ``2_*`` pair table never enters the object store (the ER path's
+    ``build_scored`` pattern, pairs.py:406).
+
+    ``make_scorer(sorted_batch) -> score(a, b) -> pa.Table`` is called once
+    per partition block (build per-block caches there: to_pylist columns,
+    encodings); ``score`` receives canonical row-index arrays (id[a] < id[b]
+    per pair) and returns an output slice, typically already filtered."""
     import ray
 
     from .blocking import explode_blocked, hot_key_counts, salt_batch
-    from .pairs import _partition_by_key, emit_pairs_block
+    from .pairs import _partition_by_key, emit_pair_indices_block
 
-    # materialized so the census pass doesn't recompute signatures/keys —
-    # the stored layout is (id, small payload, key lists), never text
     keyed_ds = keyed_ds.materialize()
     hot = hot_key_counts(keyed_ds, cap)
     blocked = explode_blocked(keyed_ds, payload_cols=[id_col] + payload_cols)
@@ -106,9 +107,23 @@ def salted_bucket_pairs(keyed_ds, id_col: str, payload_cols: list[str],
             return salt_batch(batch, ray.get(hot_ref), cap, id_col=id_col)
 
         blocked = blocked.map_batches(apply_salt, batch_format="pyarrow")
+
+    _EMPTY_IDX = np.zeros(0, dtype=np.int64)
+
+    def kernel(batch: pa.Table):
+        sorted_batch, gen = emit_pair_indices_block(batch, id_col=id_col)
+        scorer = None
+        emitted = False
+        for a, b in gen:
+            if scorer is None:
+                scorer = make_scorer(sorted_batch)
+            emitted = True
+            yield scorer(a, b)
+        if not emitted:
+            yield make_scorer(sorted_batch)(_EMPTY_IDX, _EMPTY_IDX)
+
     return _partition_by_key(blocked).map_batches(
-        functools.partial(emit_pairs_block, id_col=id_col),
-        batch_size=None, batch_format="pyarrow",
+        kernel, batch_size=None, batch_format="pyarrow"
     )
 
 
@@ -166,27 +181,38 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         .repartition(default_parallelism(), shuffle=False)
         .map_batches(attach, batch_format="pyarrow")
     )
-    pairs = salted_bucket_pairs(keyed, id_col, ["_sig"], max_bucket)
-
     est_min = max(threshold - est_slack, 0.0)
 
-    def est_filter(batch: pa.Table) -> pa.Table:
-        out = pa.table(
-            {"id1": batch["1_" + id_col], "id2": batch["2_" + id_col]}
-        )
-        if batch.num_rows == 0:
-            return out
-        s1 = _list_matrix(batch["1__sig"], np.uint64)
-        s2 = _list_matrix(batch["2__sig"], np.uint64)
-        est = (s1 == s2).mean(axis=1)
-        return out.filter(pa.array(est >= est_min))
+    def make_scorer(sb: pa.Table):
+        S = _list_matrix(sb["_sig"].combine_chunks() if sb.num_rows
+                         else sb["_sig"], np.uint64)
+        ids = sb[id_col].combine_chunks() if sb.num_rows else sb[id_col]
 
-    # Materialized: (id1, id2) pairs only — O(near-dup candidates) × 16 B,
-    # held distributed in the object store (never collected to the driver).
-    # Splitting the topology here measured 2.5× faster end-to-end than one
-    # fused plan: the candidate subgraph and the two text-join exchanges
-    # otherwise chain 4 all-to-all barriers in a single streaming run.
-    cand = pairs.map_batches(est_filter, batch_format="pyarrow").materialize()
+        def score(a: np.ndarray, b: np.ndarray) -> pa.Table:
+            if len(a):
+                est = (S[a] == S[b]).mean(axis=1)
+                ki = np.nonzero(est >= est_min)[0]
+            else:
+                ki = np.zeros(0, dtype=np.int64)
+            return pa.table(
+                {
+                    "id1": ids.take(pa.array(a[ki], pa.int64())),
+                    "id2": ids.take(pa.array(b[ki], pa.int64())),
+                }
+            )
+
+        return score
+
+    # est_filter runs fused inside emission (the [P, num_perm] signature
+    # pair matrices never enter the object store). Materialized: (id1, id2)
+    # pairs only — O(near-dup candidates) × 16 B, held distributed in the
+    # object store (never collected to the driver). Splitting the topology
+    # here measured 2.5× faster end-to-end than one fused plan: the candidate
+    # subgraph and the two text-join exchanges otherwise chain 4 all-to-all
+    # barriers in a single streaming run.
+    cand = salted_bucket_scored(
+        keyed, id_col, ["_sig"], max_bucket, make_scorer
+    ).materialize()
 
     # hash-join the text back for ONLY the surviving candidates
     texts = ds.select_columns([id_col, text_col])
@@ -266,30 +292,32 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         .repartition(default_parallelism(), shuffle=False)
         .map_batches(attach, batch_format="pyarrow")
     )
-    pairs = salted_bucket_pairs(keyed, id_col, ["_fp"], max_bucket)
+    def make_scorer(sb: pa.Table):
+        fps = sb["_fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = sb[id_col].combine_chunks() if sb.num_rows else sb[id_col]
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+        def score(a: np.ndarray, b: np.ndarray) -> pa.Table:
+            if len(a):
+                d = _hamming64_batch(fps[a], fps[b])
+                ki = np.nonzero(d <= max_hamming)[0]
+            else:
+                d = np.zeros(0, dtype=np.int64)
+                ki = np.zeros(0, dtype=np.int64)
             return pa.table(
                 {
-                    "id1": batch["1_" + id_col],
-                    "id2": batch["2_" + id_col],
-                    "similarity": pa.array([], pa.float64()),
+                    "id1": ids.take(pa.array(a[ki], pa.int64())),
+                    "id2": ids.take(pa.array(b[ki], pa.int64())),
+                    "similarity": pa.array(
+                        (64 - d[ki]).astype(np.float64), pa.float64()
+                    ),
                 }
             )
-        f1 = batch["1__fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        f2 = batch["2__fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = _hamming64_batch(f1, f2)
-        t = pa.table(
-            {
-                "id1": batch["1_" + id_col],
-                "id2": batch["2_" + id_col],
-                "similarity": pa.array((64 - d).astype(np.float64), pa.float64()),
-            }
-        )
-        return t.filter(pa.array(d <= max_hamming))
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+        return score
+
+    # Hamming verification runs fused inside emission on the block's
+    # fingerprint vector — pair tables never materialize.
+    return salted_bucket_scored(keyed, id_col, ["_fp"], max_bucket, make_scorer)
 
 
 def jaccard_block_dedup(ds, block_col: str, id_col: str = "doc_id",
@@ -313,22 +341,28 @@ def jaccard_block_dedup(ds, block_col: str, id_col: str = "doc_id",
     keyed = ds.select_columns([id_col, text_col, block_col]).map_batches(
         attach, batch_format="pyarrow"
     )
-    pairs = salted_bucket_pairs(keyed, id_col, ["_txt"], max_block)
+    def make_scorer(sb: pa.Table):
+        texts = sb["_txt"].to_pylist()
+        ids = sb[id_col].combine_chunks() if sb.num_rows else sb[id_col]
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sims = ngram_jaccard_batch(
-            batch["1__txt"].to_pylist(), batch["2__txt"].to_pylist(), ngram
-        ) if batch.num_rows else np.zeros(0)
-        t = pa.table(
-            {
-                "id1": batch["1_" + id_col],
-                "id2": batch["2_" + id_col],
-                "similarity": pa.array(sims, pa.float64()),
-            }
-        )
-        return t.filter(pa.array(sims >= threshold))
+        def score(a: np.ndarray, b: np.ndarray) -> pa.Table:
+            sims = ngram_jaccard_batch(
+                [texts[i] for i in a], [texts[i] for i in b], ngram
+            ) if len(a) else np.zeros(0)
+            ki = np.nonzero(sims >= threshold)[0]
+            return pa.table(
+                {
+                    "id1": ids.take(pa.array(a[ki], pa.int64())),
+                    "id2": ids.take(pa.array(b[ki], pa.int64())),
+                    "similarity": pa.array(sims[ki], pa.float64()),
+                }
+            )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+        return score
+
+    # Jaccard verification runs fused inside emission — each block's texts
+    # are materialized once (to_pylist) instead of once per pair side.
+    return salted_bucket_scored(keyed, id_col, ["_txt"], max_block, make_scorer)
 
 
 def embedding_dedup(ds, block_col: str | None, id_col: str = "vec_id",

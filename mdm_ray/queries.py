@@ -202,13 +202,14 @@ def _part_pairs(sf_dir: str):
     return _read(sf_dir, "part").select_columns(["p_partkey", "p_name", "p_brand"])
 
 
-def _salted_brand_pairs(sf_dir: str, cap: int = 256):
-    """Canonical (partkey1 < partkey2) within-brand part pairs via the ER
-    salted-pair machinery: a brand bigger than ``cap`` rows is chunk-pair
-    split, so one 800-row brand becomes ~10 independent pair groups instead
-    of one task — the fused grouped_kernel version ran one task per brand
-    (25 tasks total) and left most of a 32-CPU node idle."""
-    from .dedup import _attach_bucket_keys, salted_bucket_pairs
+def _fused_brand_scored(sf_dir: str, make_scorer, cap: int = 256):
+    """Canonical (partkey1 < partkey2) within-brand part pairs, scored FUSED
+    inside the emission kernel (dedup.salted_bucket_scored): a brand bigger
+    than ``cap`` rows is chunk-pair split so one 800-row brand becomes ~10
+    independent pair groups, and the wide 1_/2_ pair table (~90 B × every
+    candidate pair) never enters the object store — only the filtered scored
+    output does."""
+    from .dedup import _attach_bucket_keys, salted_bucket_scored
 
     def attach(b: pa.Table) -> pa.Table:
         keys = [[f"b:{v}"] for v in b["p_brand"].to_pylist()]
@@ -218,42 +219,40 @@ def _salted_brand_pairs(sf_dir: str, cap: int = 256):
         )
 
     keyed = _part_pairs(sf_dir).map_batches(attach, batch_format="pyarrow")
-    return salted_bucket_pairs(keyed, "p_partkey", ["_name", "_brand"], cap)
+    return salted_bucket_scored(keyed, "p_partkey", ["_name", "_brand"], cap,
+                                make_scorer)
 
 
 def q_fuzzy_pairs(sf_dir: str):
-    def score(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    def make_scorer(sb: pa.Table):
+        names = sb["_name"].to_pylist()
+        keys = sb["p_partkey"].combine_chunks() if sb.num_rows else sb["p_partkey"]
+        brands = sb["_brand"].combine_chunks() if sb.num_rows else sb["_brand"]
+
+        def score(a: np.ndarray, b: np.ndarray) -> pa.Table:
+            na = [names[i] for i in a]
+            nb = [names[i] for i in b]
+            edit = _round(edit_similarity_batch(na, nb))
+            # token overlap only for the ~16% of pairs surviving the filter
+            ki = np.nonzero(edit > 0.5)[0]
+            tok = _round(token_overlap_batch(
+                [na[i] for i in ki], [nb[i] for i in ki]
+            )) if len(ki) else np.zeros(0)
+            ia = pa.array(a[ki], pa.int64())
+            ib = pa.array(b[ki], pa.int64())
             return pa.table(
                 {
-                    "partkey1": pa.array([], pa.int64()),
-                    "partkey2": pa.array([], pa.int64()),
-                    "p_brand": pa.array([], pa.string()),
-                    "name_edit_sim": pa.array([], pa.float64()),
-                    "name_token_score": pa.array([], pa.float64()),
+                    "partkey1": keys.take(ia),
+                    "partkey2": keys.take(ib),
+                    "p_brand": brands.take(ia),
+                    "name_edit_sim": pa.array(edit[ki], pa.float64()),
+                    "name_token_score": pa.array(tok, pa.float64()),
                 }
             )
-        na = batch["1__name"].to_pylist()
-        nb = batch["2__name"].to_pylist()
-        edit = _round(edit_similarity_batch(na, nb))
-        keep = edit > 0.5
-        # token overlap only for the ~16% of pairs surviving the edit filter
-        tok = np.zeros(len(na))
-        ki = np.nonzero(keep)[0]
-        tok[ki] = token_overlap_batch([na[i] for i in ki], [nb[i] for i in ki])
-        return pa.table(
-            {
-                "partkey1": batch["1_p_partkey"],
-                "partkey2": batch["2_p_partkey"],
-                "p_brand": batch["1__brand"],
-                "name_edit_sim": pa.array(edit, pa.float64()),
-                "name_token_score": pa.array(_round(tok), pa.float64()),
-            }
-        ).filter(pa.array(keep))
 
-    return _salted_brand_pairs(sf_dir).map_batches(
-        score, batch_size=32768, batch_format="pyarrow"
-    )
+        return score
+
+    return _fused_brand_scored(sf_dir, make_scorer)
 
 
 SQL_FUZZY_PAIRS = """
@@ -271,32 +270,25 @@ WHERE round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE /
 
 
 def q_jaro_pairs(sf_dir: str):
-    def score(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    def make_scorer(sb: pa.Table):
+        names = np.asarray(sb["_name"].to_pylist(), dtype=object)
+        keys = sb["p_partkey"].combine_chunks() if sb.num_rows else sb["p_partkey"]
+
+        def score(a: np.ndarray, b: np.ndarray) -> pa.Table:
+            jw = _round(jaro_winkler_batch(names[a], names[b])) if len(a) \
+                else np.zeros(0)
+            ki = np.nonzero(jw > 0.8)[0]
             return pa.table(
                 {
-                    "partkey1": pa.array([], pa.int64()),
-                    "partkey2": pa.array([], pa.int64()),
-                    "jw_sim": pa.array([], pa.float64()),
+                    "partkey1": keys.take(pa.array(a[ki], pa.int64())),
+                    "partkey2": keys.take(pa.array(b[ki], pa.int64())),
+                    "jw_sim": pa.array(jw[ki], pa.float64()),
                 }
             )
-        jw = _round(
-            jaro_winkler_batch(
-                np.asarray(batch["1__name"].to_pylist(), dtype=object),
-                np.asarray(batch["2__name"].to_pylist(), dtype=object),
-            )
-        )
-        return pa.table(
-            {
-                "partkey1": batch["1_p_partkey"],
-                "partkey2": batch["2_p_partkey"],
-                "jw_sim": pa.array(jw, pa.float64()),
-            }
-        ).filter(pa.array(jw > 0.8))
 
-    return _salted_brand_pairs(sf_dir).map_batches(
-        score, batch_size=32768, batch_format="pyarrow"
-    )
+        return score
+
+    return _fused_brand_scored(sf_dir, make_scorer)
 
 
 SQL_JARO_PAIRS = """
