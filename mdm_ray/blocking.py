@@ -273,16 +273,22 @@ def attach_block_keys(features_ds, cfg: EngineConfig = DEFAULT_CONFIG):
     )
 
 
-def explode_blocked(keyed_features_ds, payload_cols: list[str] | None = None):
+def explode_blocked(keyed_features_ds, payload_cols: list[str] | None = None,
+                    include_key_hashes: bool = True):
     """One output row per (doc, block_key): vectorized list-flatten explode
     (no Python loop) carrying the payload columns (default: scoring fields)
-    + key_hashes."""
+    + key_hashes.
+
+    ``include_key_hashes=False`` drops the per-doc key-hash list from the
+    exploded rows (×num_keys amplification through the exchange) — for
+    sketch-keyed ops whose pair dedup re-derives key sets from the sketch."""
 
     def explode(batch: pa.Table) -> pa.Table:
         cols = [c for c in (payload_cols or SCORING_FIELDS) if c in batch.column_names]
+        extra = ["key_hashes"] if include_key_hashes else []
         kl = batch["block_keys"].combine_chunks()
         parent = pc.list_parent_indices(kl)
-        taken = batch.select(cols + ["key_hashes"]).take(parent)
+        taken = batch.select(cols + extra).take(parent)
         return taken.append_column("block_key", pc.list_flatten(kl))
 
     return keyed_features_ds.map_batches(explode, batch_format="pyarrow")

@@ -82,7 +82,8 @@ def _attach_bucket_keys(batch: pa.Table, *, id_col: str, keys_fn,
 
 
 def salted_bucket_scored(keyed_ds, id_col: str, payload_cols: list[str],
-                         cap: int, make_scorer, num_partitions: int | None = None):
+                         cap: int, make_scorer, num_partitions: int | None = None,
+                         pair_dedup: str = "min_key"):
     """Fused variant of ``salted_bucket_pairs``: per partition block, emit
     canonical pair-index chunks and score them IN PLACE — the wide ``1_*``/
     ``2_*`` pair table never enters the object store (the ER path's
@@ -91,15 +92,24 @@ def salted_bucket_scored(keyed_ds, id_col: str, payload_cols: list[str],
     ``make_scorer(sorted_batch) -> score(a, b) -> pa.Table`` is called once
     per partition block (build per-block caches there: to_pylist columns,
     encodings); ``score`` receives canonical row-index arrays (id[a] < id[b]
-    per pair) and returns an output slice, typically already filtered."""
+    per pair) and returns an output slice, typically already filtered.
+
+    ``pair_dedup``: ``"min_key"`` (default) ships each row's key-hash list
+    through the explode and suppresses cross-bucket duplicate pairs with the
+    min-shared-fingerprint rule; ``"caller"`` ships NO key hashes (×num_keys
+    lighter exchange for multi-key sketch ops) and emits every within-bucket
+    pair — the scorer must keep each pair under exactly one of its shared
+    buckets (e.g. the first agreeing band, re-derived from the sketch)."""
     import ray
 
     from .blocking import explode_blocked, hot_key_counts, salt_batch
     from .pairs import _partition_by_key, emit_pair_indices_block
 
+    dedup_keys = pair_dedup == "min_key"
     keyed_ds = keyed_ds.materialize()
     hot = hot_key_counts(keyed_ds, cap)
-    blocked = explode_blocked(keyed_ds, payload_cols=[id_col] + payload_cols)
+    blocked = explode_blocked(keyed_ds, payload_cols=[id_col] + payload_cols,
+                              include_key_hashes=dedup_keys)
     if hot:
         hot_ref = ray.put(hot)
 
@@ -111,7 +121,9 @@ def salted_bucket_scored(keyed_ds, id_col: str, payload_cols: list[str],
     _EMPTY_IDX = np.zeros(0, dtype=np.int64)
 
     def kernel(batch: pa.Table):
-        sorted_batch, gen = emit_pair_indices_block(batch, id_col=id_col)
+        sorted_batch, gen = emit_pair_indices_block(
+            batch, id_col=id_col, dedup_keys=dedup_keys
+        )
         scorer = None
         emitted = False
         for a, b in gen:
@@ -187,11 +199,29 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         S = _list_matrix(sb["_sig"].combine_chunks() if sb.num_rows
                          else sb["_sig"], np.uint64)
         ids = sb[id_col].combine_chunks() if sb.num_rows else sb[id_col]
+        # band index of each row's bucket, parsed once per block ("b{i}:…",
+        # optionally "#{i}_{j}"-salted — the salt follows the hash part)
+        beta = np.fromiter(
+            (int(k.split(":", 1)[0][1:]) for k in sb["block_key"].to_pylist()),
+            dtype=np.int64, count=sb.num_rows,
+        ) if sb.num_rows else np.zeros(0, np.int64)
 
         def score(a: np.ndarray, b: np.ndarray) -> pa.Table:
             if len(a):
-                est = (S[a] == S[b]).mean(axis=1)
-                ki = np.nonzero(est >= est_min)[0]
+                eq = S[a] == S[b]                       # [P, num_perm]
+                est = eq.mean(axis=1)
+                # cross-bucket dedup without key-hash lists: a pair's shared
+                # buckets are exactly its agreeing bands (band keys are
+                # sig-derived), so keep it only under the FIRST agreeing
+                # band. Same-bucket-but-no-agreeing-band pairs (band-key
+                # hash collisions, ~2^-32) are spurious and dropped.
+                eqb = eq.reshape(len(a), bands, -1).all(axis=2)
+                first = eqb.argmax(axis=1)
+                ki = np.nonzero(
+                    eqb[np.arange(len(a)), first]
+                    & (first == beta[a])
+                    & (est >= est_min)
+                )[0]
             else:
                 ki = np.zeros(0, dtype=np.int64)
             return pa.table(
@@ -204,14 +234,16 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         return score
 
     # est_filter runs fused inside emission (the [P, num_perm] signature
-    # pair matrices never enter the object store). Materialized: (id1, id2)
+    # pair matrices never enter the object store), and pair_dedup="caller"
+    # keeps the ×bands key-hash lists off the exchange entirely — each
+    # exploded row is (id, sig, bucket key). Materialized: (id1, id2)
     # pairs only — O(near-dup candidates) × 16 B, held distributed in the
     # object store (never collected to the driver). Splitting the topology
     # here measured 2.5× faster end-to-end than one fused plan: the candidate
     # subgraph and the two text-join exchanges otherwise chain 4 all-to-all
     # barriers in a single streaming run.
     cand = salted_bucket_scored(
-        keyed, id_col, ["_sig"], max_bucket, make_scorer
+        keyed, id_col, ["_sig"], max_bucket, make_scorer, pair_dedup="caller"
     ).materialize()
 
     # hash-join the text back for ONLY the surviving candidates
@@ -295,11 +327,27 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     def make_scorer(sb: pa.Table):
         fps = sb["_fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = sb[id_col].combine_chunks() if sb.num_rows else sb[id_col]
+        width = np.uint64(64 // bands)
+        mask = (np.uint64(1) << width) - np.uint64(1)
+        # [n, bands] raw band bits (band keys are exact bit slices, so
+        # "same bucket" ⟺ "equal band value" with no collision caveat)
+        shifts = (np.arange(bands, dtype=np.uint64) * width)[None, :]
+        bvals = (fps[:, None] >> shifts) & mask
+        beta = np.fromiter(
+            (int(k.split(":", 1)[0][1:]) for k in sb["block_key"].to_pylist()),
+            dtype=np.int64, count=sb.num_rows,
+        ) if sb.num_rows else np.zeros(0, np.int64)
 
         def score(a: np.ndarray, b: np.ndarray) -> pa.Table:
             if len(a):
                 d = _hamming64_batch(fps[a], fps[b])
-                ki = np.nonzero(d <= max_hamming)[0]
+                # keep each pair only under its first agreeing band —
+                # cross-bucket dedup without shipping key-hash lists
+                eqb = bvals[a] == bvals[b]
+                first = eqb.argmax(axis=1)
+                ki = np.nonzero(
+                    (first == beta[a]) & (d <= max_hamming)
+                )[0]
             else:
                 d = np.zeros(0, dtype=np.int64)
                 ki = np.zeros(0, dtype=np.int64)
@@ -315,9 +363,11 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
         return score
 
-    # Hamming verification runs fused inside emission on the block's
-    # fingerprint vector — pair tables never materialize.
-    return salted_bucket_scored(keyed, id_col, ["_fp"], max_bucket, make_scorer)
+    # Hamming verification + band dedup run fused inside emission on the
+    # block's fingerprint vector — pair tables and key-hash lists never
+    # enter the object store.
+    return salted_bucket_scored(keyed, id_col, ["_fp"], max_bucket, make_scorer,
+                                pair_dedup="caller")
 
 
 def jaccard_block_dedup(ds, block_col: str, id_col: str = "doc_id",

@@ -153,7 +153,7 @@ def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def emit_pair_indices_block(
-    batch: pa.Table, id_col: str = "doc_id"
+    batch: pa.Table, id_col: str = "doc_id", dedup_keys: bool = True
 ) -> tuple[pa.Table, "Iterator[tuple[np.ndarray, np.ndarray]]"]:
     """Core of pair emission: returns ``(sorted_batch, generator)`` where the
     generator yields canonical ``(a, b)`` row-index arrays into
@@ -162,7 +162,14 @@ def emit_pair_indices_block(
     rule). Callers gather whatever payload they need from the indices —
     ``emit_pairs_block`` materializes full 1_/2_ tables; the fused scoring
     path computes the cheap legs straight from per-block encodings and only
-    gathers strings for bound survivors."""
+    gathers strings for bound survivors.
+
+    ``dedup_keys=False`` skips the min-shared-fingerprint sweep (no
+    ``key_hashes`` column needed): every within-group pair is emitted, and
+    the CALLER must suppress cross-bucket duplicates — used by sketch-keyed
+    ops (MinHash/SimHash LSH) whose scorers re-derive each side's full key
+    set from the carried sketch and keep a pair only in its first agreeing
+    band, so the ×bands key-hash lists never ride the exchange."""
     n = batch.num_rows
     if n == 0:
         return batch, iter(())
@@ -179,7 +186,7 @@ def emit_pair_indices_block(
         # compares int64 ranks, not 2×pairs Python string objects
         doc_ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
         _, doc_rank = np.unique(doc_ids, return_inverse=True)
-        K = _padded_key_matrix(batch)
+        K = _padded_key_matrix(batch) if dedup_keys else None
         chunks = (
             batch["chunk"].to_numpy(zero_copy_only=False)
             if "chunk" in batch.column_names
@@ -243,12 +250,15 @@ def emit_pair_indices_block(
         for lo in range(0, len(II), step):
             ci = II[lo: lo + step]
             cj = JJ[lo: lo + step]
-            keep = _min_shared_hash(K[ci], K[cj]) == BH[lo: lo + step]
-            if not keep.any():
-                continue
-            pend_ii.append(ci[keep])
-            pend_jj.append(cj[keep])
-            pending += int(keep.sum())
+            if dedup_keys:
+                keep = _min_shared_hash(K[ci], K[cj]) == BH[lo: lo + step]
+                if not keep.any():
+                    continue
+                ci = ci[keep]
+                cj = cj[keep]
+            pend_ii.append(ci)
+            pend_jj.append(cj)
+            pending += len(ci)
             if pending >= MAX_PAIRS_PER_CHUNK:
                 pending = 0
                 yield flush()
