@@ -7,10 +7,11 @@ each built on the SAME salted-pair machinery as the ER blocker
 no bucket is ever silently dropped and no group is unboundedly quadratic:
 
 * exact dedup        — canonicalized-text groups, survivor = min id
-* MinHash-LSH        — signature → band buckets; the shuffle carries ONLY
-                       (id, signature, bucket keys) — never document text;
-                       text is hash-joined back for the (small) candidate
-                       set that survives the signature-estimate prefilter
+* MinHash-LSH        — signature → band buckets; each exploded row carries
+                       ONLY (id, signature, bucket key) — never document
+                       text, never key-hash lists; text is hash-joined back
+                       for the (small) candidate set that survives the
+                       signature-estimate prefilter
 * SimHash            — 64-bit fingerprint band buckets; Hamming verification
                        runs on the fingerprints themselves — text never
                        enters the shuffle at all
@@ -18,8 +19,12 @@ no bucket is ever silently dropped and no group is unboundedly quadratic:
                        one key per doc — and ×m only for salted hot blocks)
 * embedding cosine   — salted blocked matmul kernel; emits only survivors
 
-Pair-producing ops emit canonical ``(id1 < id2)`` pairs; cross-bucket dedup
-uses the same min-common-key-fingerprint trick as the ER blocker (pairs.py).
+Pair-producing ops emit canonical ``(id1 < id2)`` pairs, scored FUSED inside
+the emission kernel (``salted_bucket_scored``). Cross-bucket dedup: explicit-
+block ops use the ER blocker's min-common-key-fingerprint rule (pairs.py);
+sketch-keyed ops (MinHash/SimHash) re-derive band agreement from the carried
+sketch and keep each pair only under its first agreeing band, so the ×bands
+key-hash lists never ride the exchange.
 """
 
 from __future__ import annotations

@@ -982,6 +982,78 @@ WHERE a.nt > 0 AND b.nt > 0
 
 
 # ---------------------------------------------------------------------------
+# Event-stream operators (events table): sessionization, tumbling windows,
+# as-of join — see mdm_ray/events.py for the kernels + partitioning notes
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MINUTES = 30
+WINDOW_MINUTES = 60
+
+
+def q_sessionize(sf_dir: str):
+    from .events import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_minutes=SESSION_GAP_MINUTES)
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MINUTES * 60_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(1 + sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def q_window_agg(sf_dir: str):
+    from .events import window_agg
+
+    return window_agg(_read(sf_dir, "events"), window_minutes=WINDOW_MINUTES)
+
+
+SQL_WINDOW_AGG = f"""
+SELECT event_type,
+       (epoch_us(ts) // {WINDOW_MINUTES * 60_000_000})
+         * {WINDOW_MINUTES * 60_000_000} AS window_start_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_asof_join(sf_dir: str):
+    from .events import asof_join
+
+    return asof_join(_read(sf_dir, "events"), "purchase", "click")
+
+
+SQL_ASOF_JOIN = """
+WITH pc AS (
+  SELECT p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us,
+         (SELECT c.event_id FROM events c
+           WHERE c.user_id = p.user_id AND c.event_type = 'click'
+             AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+           ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+  FROM events p WHERE p.event_type = 'purchase')
+SELECT pc.purchase_id, pc.purchase_us, pc.click_id, epoch_us(e.ts) AS click_us
+FROM pc LEFT JOIN events e ON e.event_id = pc.click_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # A8: analytics aggregate (lineitem) + deterministic sample
 # ---------------------------------------------------------------------------
 
@@ -1357,6 +1429,9 @@ QUERIES = {
     "analytics_agg": q_analytics_agg,
     "sample_agg": q_sample_agg,
     "random_sample": q_random_sample,
+    "sessionize": q_sessionize,
+    "window_agg": q_window_agg,
+    "asof_join": q_asof_join,
     "er_e2e": q_er_e2e,
     "er_golden": q_er_golden,
     "er_resolved": q_er_resolved,
@@ -1391,6 +1466,9 @@ ORACLES = {
     "quality_scores": SQL_QUALITY,
     "analytics_agg": SQL_ANALYTICS_AGG,
     "sample_agg": SQL_SAMPLE_AGG,
+    "sessionize": SQL_SESSIONIZE,
+    "window_agg": SQL_WINDOW_AGG,
+    "asof_join": SQL_ASOF_JOIN,
     # er_* (synthesized fixture corpus) / media_features (stubbed codecs):
     # rows-only checks
 }

@@ -339,3 +339,83 @@ def test_zip_with_index_block_order(ray_session):
     assert out["rank"].tolist() == sorted(out["rank"].tolist())
     ordered = out.sort_values("rank")
     assert ordered["k"].tolist() == list(range(100, 0, -1))
+
+
+# ---------------------------------------------------------------------------
+# event-stream operators (events.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data
+
+    MIN = 60_000_000  # µs
+    rows = [
+        # user 1: sessions [e0,e1], [e2], [e3] at 30-min gap
+        (0, 0 * MIN, 1, "click", 1.00),
+        (1, 10 * MIN, 1, "purchase", 2.50),
+        (2, 50 * MIN, 1, "purchase", 0.75),
+        (3, 200 * MIN, 1, "click", 4.00),
+        # user 2: one event; purchase with NO prior click
+        (4, 5 * MIN, 2, "purchase", 9.99),
+        # user 3: click and purchase at the SAME ts (click id lower -> match)
+        (5, 7 * MIN, 3, "click", 1.10),
+        (6, 7 * MIN, 3, "purchase", 2.20),
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_sessionize(events_ds):
+    from mdm_ray.events import sessionize
+
+    MIN = 60_000_000
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(events_ds, gap_minutes=30).take_all()
+    }
+    assert len(out) == 5  # 3 + 1 + 1 (same-ts user-3 pair is one session)
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 2
+    assert (s11["start_us"], s11["end_us"]) == (0, 10 * MIN)
+    assert s11["total_value"] == 3.5
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(1, 3)]["start_us"] == 200 * MIN
+    assert out[(2, 1)]["total_value"] == 9.99
+    assert out[(3, 1)]["n_events"] == 2
+
+
+def test_window_agg(events_ds):
+    from mdm_ray.events import window_agg
+
+    HOUR = 3_600_000_000
+    out = {
+        (r["event_type"], r["window_start_us"]): r
+        for r in window_agg(events_ds, window_minutes=60).take_all()
+    }
+    # hour 0: clicks e0,e5; purchases e1,e2,e4,e6; hour 3: click e3
+    assert out[("click", 0)]["n_events"] == 2
+    assert out[("click", 0)]["total_value"] == 2.1
+    assert out[("purchase", 0)]["n_events"] == 4
+    assert out[("purchase", 0)]["total_value"] == 15.44
+    assert out[("click", 3 * HOUR)]["n_events"] == 1
+
+
+def test_asof_join(events_ds):
+    from mdm_ray.events import asof_join
+
+    out = {r["purchase_id"]: r for r in asof_join(events_ds).take_all()}
+    assert set(out) == {1, 2, 4, 6}
+    assert out[1]["click_id"] == 0       # most recent prior click
+    assert out[2]["click_id"] == 0       # still e0 (no newer click)
+    assert out[4]["click_id"] is None    # user 2: no prior click
+    assert out[6]["click_id"] == 5       # same-ts click, lower event_id wins
