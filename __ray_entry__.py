@@ -93,8 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names; floats rounded identically). Non-expressible ops (minhash/simhash
-    LSH, lang-id, fingerprints, ER-fixture pipelines, media) are omitted →
+    names; floats rounded identically). Non-expressible ops (the ER-fixture
+    pipelines, which run on the synthesized interleaved corpus invisible to
+    the oracle's views, and the stub-codec media features) are omitted →
     rows-only checks."""
     from mdm_ray.queries import ORACLES
 

@@ -244,3 +244,49 @@ def grouped_kernel(ds, key: str, fn: Callable[[pa.Table, np.ndarray, np.ndarray]
         .sort(key)
         .map_batches(wrapper, batch_size=None, batch_format="pyarrow")
     )
+
+
+def top_k_per_group(ds, group_cols: list[str], order_col: str, k: int,
+                    tie_col: str, largest: bool = True):
+    """Top-k rows per group by ``order_col`` (ties broken by ``tie_col``
+    ascending — deterministic at any parallelism). ONE sort exchange on the
+    group key (grouped_kernel: range partitioning co-locates each group),
+    then a vectorized per-block rank filter — no per-group Python dispatch,
+    no global sort of the full table by the order column.
+
+    Output: the input columns + 1-based ``rank``. Scale note: a group larger
+    than a block would need the salted two-stage top-k (per-shard top-k →
+    merge) — groups here are bounded (k ≪ block budget, group = category key),
+    documented per the custom-operator rule."""
+
+    def add_key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = None
+        for c in group_cols:
+            part = pc.cast(b[c], pa.string())
+            key = part if key is None else pc.binary_join_element_wise(key, part, "|")
+        return b.append_column("_gk", key)
+
+    def kernel(b: pa.Table, starts: np.ndarray, stops: np.ndarray) -> pa.Table:
+        out_cols = [c for c in b.column_names if c != "_gk"]
+        if b.num_rows == 0:
+            t = b.select(out_cols)
+            return t.append_column("rank", pa.array([], pa.int64()))
+        n = b.num_rows
+        counts = stops - starts
+        gid = np.repeat(np.arange(len(starts)), counts)
+        order_v = b[order_col].to_numpy(zero_copy_only=False)
+        tie_v = b[tie_col].to_numpy(zero_copy_only=False)
+        sort_order = np.lexsort(
+            (tie_v, -order_v if largest else order_v, gid)
+        )
+        # gid is the primary lexsort key, so segments stay contiguous with
+        # unchanged boundaries: within-group rank = position - segment start
+        rank = np.arange(n) - np.repeat(starts, counts)
+        keep = sort_order[rank < k]
+        t = b.take(pa.array(keep, pa.int64())).select(out_cols)
+        return t.append_column("rank", pa.array(rank[rank < k] + 1, pa.int64()))
+
+    return grouped_kernel(ds.map_batches(add_key, batch_format="pyarrow"),
+                          "_gk", kernel)

@@ -121,8 +121,81 @@ def window_agg(ds, window_minutes: int = 60):
     the shuffle at O(windows), not O(events)."""
     win_us = window_minutes * _US_PER_MIN
 
-    def partial(b: pa.Table) -> pa.Table:
+    def add_window(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start_us": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        ts = pc.cast(b["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start_us": pa.array((ts // win_us) * win_us, pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    keyed = ds.select_columns(["ts", "event_type", "value"]).map_batches(
+        add_window, batch_format="pyarrow"
+    )
+    return window_agg_from_keyed(keyed)
+
+
+def sliding_window_agg(ds, window_minutes: int = 60, hop_minutes: int = 15):
+    """Sliding (hopping) window aggregate per (event_type, window): windows of
+    ``window_minutes`` starting every ``hop_minutes`` (must divide evenly);
+    an event lands in exactly window/hop windows (fewer near t=0 where
+    negative window starts are clipped). Same partial-aggregate shape as
+    ``window_agg``: the ×k explode happens INSIDE the combiner batch and is
+    collapsed to per-window partials before the exchange, so the shuffle
+    stays O(windows), not O(events × k)."""
+    if window_minutes % hop_minutes:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    win_us = window_minutes * _US_PER_MIN
+    hop_us = hop_minutes * _US_PER_MIN
+    k = win_us // hop_us
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start_us": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        ts = pc.cast(b["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        # window starts base, base-hop, ..., base-(k-1)*hop — each contains ts
+        ws = (base[:, None] - np.arange(k, dtype=np.int64) * hop_us).ravel()
+        keep = ws >= 0
+        idx = pa.array(np.repeat(np.arange(len(ts), dtype=np.int64), k)[keep])
+        return pa.table(
+            {
+                "event_type": b["event_type"].take(idx),
+                "window_start_us": pa.array(ws[keep], pa.int64()),
+                "value": b["value"].take(idx),
+            }
+        )
+
+    exploded = ds.select_columns(["ts", "event_type", "value"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return window_agg_from_keyed(exploded)
+
+
+def window_agg_from_keyed(ds):
+    """Shared partial→merge tail for the tumbling/sliding window aggregates:
+    input rows already carry (event_type, window_start_us, value)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "event_type" not in b.column_names:
             return pa.table(
                 {
                     "event_type": pa.array([], pa.string()),
@@ -131,12 +204,10 @@ def window_agg(ds, window_minutes: int = 60):
                     "cents": pa.array([], pa.int64()),
                 }
             )
-        ts = pc.cast(b["ts"].combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False)
-        win = (ts // win_us) * win_us
         t = pa.table(
             {
                 "event_type": b["event_type"],
-                "window_start_us": pa.array(win, pa.int64()),
+                "window_start_us": b["window_start_us"],
                 "cents": pa.array(_cents(
                     b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
             }
@@ -174,9 +245,7 @@ def window_agg(ds, window_minutes: int = 60):
             }
         )
 
-    partials = ds.select_columns(["ts", "event_type", "value"]).map_batches(
-        partial, batch_format="pyarrow"
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def add_key(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "event_type" not in b.column_names:
@@ -193,6 +262,99 @@ def window_agg(ds, window_minutes: int = 60):
         lambda b: merge(b.select([c for c in b.column_names if c not in ("_wk", "_part")])
                         if b.num_rows else b),
         batch_size=None, batch_format="pyarrow",
+    )
+
+
+def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
+                  point_id: str = "event_id", start: str = "start_us",
+                  end: str = "end_us", interval_key: str = "session_seq"):
+    """Range (point-in-interval) join: each point row matches the interval of
+    the same ``by`` key with ``start <= point_ts <= end``. INNER semantics.
+
+    Partitioning assumption (documented): intervals are NON-OVERLAPPING per
+    key — the containing interval is then the last one whose start precedes
+    the point, so the whole join is ONE union exchange on ``by`` plus the
+    same segmented carry-forward kernel as :func:`asof_join` — no per-group
+    Python, no O(points × intervals) blowup.
+
+    Returns (point_id, by, point_us, interval_key)."""
+
+    def empty() -> pa.Table:
+        return pa.table(
+            {
+                point_id: pa.array([], pa.int64()),
+                by: pa.array([], pa.int64()),
+                "point_us": pa.array([], pa.int64()),
+                interval_key: pa.array([], pa.int64()),
+            }
+        )
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[point_ts].combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "_by": pc.cast(b[by].combine_chunks(), pa.int64()),
+                "_t": ts,
+                "_end": pa.nulls(b.num_rows, pa.int64()),
+                "_pid": pc.cast(b[point_id].combine_chunks(), pa.int64()),
+                "_ik": pa.nulls(b.num_rows, pa.int64()),
+                "_kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_by": pc.cast(b[by].combine_chunks(), pa.int64()),
+                "_t": pc.cast(b[start].combine_chunks(), pa.int64()),
+                "_end": pc.cast(b[end].combine_chunks(), pa.int64()),
+                "_pid": pa.nulls(b.num_rows, pa.int64()),
+                "_ik": pc.cast(b[interval_key].combine_chunks(), pa.int64()),
+                "_kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_by" not in b.column_names:
+            return empty()
+        uid = b["_by"].to_numpy(zero_copy_only=False)
+        t = b["_t"].to_numpy(zero_copy_only=False)
+        kind = b["_kind"].to_numpy(zero_copy_only=False)
+        # intervals (_kind 0) sort before points at equal t: start == ts
+        # counts as containment
+        order = np.lexsort((kind, t, uid))
+        uid, t, kind = uid[order], t[order], kind[order]
+        endv = pc.fill_null(b["_end"], -1).to_numpy(zero_copy_only=False)[order]
+        pid = pc.fill_null(b["_pid"], 0).to_numpy(zero_copy_only=False)[order]
+        ik = pc.fill_null(b["_ik"], 0).to_numpy(zero_copy_only=False)[order]
+        n = len(uid)
+        idx = np.arange(n)
+        last_iv = np.maximum.accumulate(np.where(kind == 0, idx, -1))
+        user_start = np.maximum.accumulate(
+            np.where(np.concatenate(([True], uid[1:] != uid[:-1])), idx, 0)
+        )
+        pts = np.nonzero(kind == 1)[0]
+        j = last_iv[pts]
+        ok = (j >= user_start[pts]) & (t[pts] <= endv[np.maximum(j, 0)])
+        pts, j = pts[ok], j[ok]
+        return pa.table(
+            {
+                point_id: pa.array(pid[pts], pa.int64()),
+                by: pa.array(uid[pts], pa.int64()),
+                "point_us": pa.array(t[pts], pa.int64()),
+                interval_key: pa.array(ik[j], pa.int64()),
+            }
+        )
+
+    union = points.select_columns([by, point_ts, point_id]).map_batches(
+        tag_points, batch_format="pyarrow"
+    ).union(
+        intervals.select_columns([by, start, end, interval_key]).map_batches(
+            tag_intervals, batch_format="pyarrow"
+        )
+    )
+    return hash_partition_by(union, "_by").map_batches(
+        kernel, batch_size=None, batch_format="pyarrow"
     )
 
 

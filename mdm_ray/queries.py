@@ -1034,6 +1034,87 @@ FROM events GROUP BY 1, 2
 """
 
 
+HOP_MINUTES = 15
+_HOP_US = HOP_MINUTES * 60_000_000
+_SLIDE_K = WINDOW_MINUTES // HOP_MINUTES
+
+
+def q_sliding_window(sf_dir: str):
+    from .events import sliding_window_agg
+
+    return sliding_window_agg(
+        _read(sf_dir, "events"),
+        window_minutes=WINDOW_MINUTES, hop_minutes=HOP_MINUTES,
+    )
+
+
+SQL_SLIDING_WINDOW = f"""
+SELECT event_type, ws AS window_start_us,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM (
+  SELECT event_type, value,
+         unnest(generate_series(
+           (epoch_us(ts) // {_HOP_US}) * {_HOP_US} - {(_SLIDE_K - 1) * _HOP_US},
+           (epoch_us(ts) // {_HOP_US}) * {_HOP_US},
+           {_HOP_US})) AS ws
+  FROM events)
+WHERE ws >= 0
+GROUP BY 1, 2
+"""
+
+
+def q_range_join(sf_dir: str):
+    from .events import interval_join, sessionize
+
+    ev = _read(sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=SESSION_GAP_MINUTES)
+    return interval_join(ev, sess)
+
+
+SQL_RANGE_JOIN = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MINUTES * 60_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), bounds AS (
+  SELECT user_id,
+         CAST(1 + sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq,
+         ts
+  FROM flagged
+), spans AS (
+  SELECT user_id, session_seq,
+         epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+  FROM bounds GROUP BY user_id, session_seq
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS point_us, s.session_seq
+FROM events e JOIN spans s
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) BETWEEN s.start_us AND s.end_us
+"""
+
+
+def q_percentiles(sf_dir: str):
+    """Exact per-group order statistics over events.value (distributed
+    sort + metadata-routed picks — mdm_ray/quantiles.py)."""
+    from .quantiles import group_percentiles
+
+    return group_percentiles(_read(sf_dir, "events"), "event_type", "value")
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_asof_join(sf_dir: str):
     from .events import asof_join
 
@@ -1116,6 +1197,31 @@ SQL_SAMPLE_AGG = """
 SELECT lang, count(*) AS sampled_docs FROM documents
 WHERE doc_id % 8 = 0 GROUP BY lang
 """
+
+TOPK_PER_GROUP_K = 3
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-k per group (curation primitive: keep the best docs per domain):
+    top-3 documents per (lang, source) by n_chars desc, doc_id tiebreak.
+    One sort exchange + vectorized per-block rank filter (dsutil)."""
+    from .dsutil import top_k_per_group
+
+    return top_k_per_group(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang", "source", "n_chars"]),
+        group_cols=["lang", "source"], order_col="n_chars",
+        k=TOPK_PER_GROUP_K, tie_col="doc_id",
+    )
+
+
+SQL_TOPK_PER_GROUP = f"""
+SELECT doc_id, lang, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang, source
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents
+QUALIFY rank <= {TOPK_PER_GROUP_K}
+"""
+
 
 RANDOM_SAMPLE_K = 500
 _SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
@@ -1429,8 +1535,12 @@ QUERIES = {
     "analytics_agg": q_analytics_agg,
     "sample_agg": q_sample_agg,
     "random_sample": q_random_sample,
+    "topk_per_group": q_topk_per_group,
+    "percentiles": q_percentiles,
     "sessionize": q_sessionize,
     "window_agg": q_window_agg,
+    "sliding_window": q_sliding_window,
+    "range_join": q_range_join,
     "asof_join": q_asof_join,
     "er_e2e": q_er_e2e,
     "er_golden": q_er_golden,
@@ -1466,8 +1576,12 @@ ORACLES = {
     "quality_scores": SQL_QUALITY,
     "analytics_agg": SQL_ANALYTICS_AGG,
     "sample_agg": SQL_SAMPLE_AGG,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "percentiles": SQL_PERCENTILES,
     "sessionize": SQL_SESSIONIZE,
     "window_agg": SQL_WINDOW_AGG,
+    "sliding_window": SQL_SLIDING_WINDOW,
+    "range_join": SQL_RANGE_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     # er_* (synthesized fixture corpus) / media_features (stubbed codecs):
     # rows-only checks

@@ -419,3 +419,83 @@ def test_asof_join(events_ds):
     assert out[2]["click_id"] == 0       # still e0 (no newer click)
     assert out[4]["click_id"] is None    # user 2: no prior click
     assert out[6]["click_id"] == 5       # same-ts click, lower event_id wins
+
+
+def test_sliding_window_agg(events_ds):
+    from mdm_ray.events import sliding_window_agg
+
+    M = 60_000_000
+    out = {
+        (r["event_type"], r["window_start_us"]): r
+        for r in sliding_window_agg(
+            events_ds, window_minutes=60, hop_minutes=15
+        ).take_all()
+    }
+    assert len(out) == 9
+    # clicks: e0(t=0), e5(t=7) -> only window 0 (negative starts clipped);
+    # e3(t=200) -> windows 150/165/180/195
+    assert out[("click", 0)]["n_events"] == 2
+    assert out[("click", 0)]["total_value"] == 2.1
+    for w in (150, 165, 180, 195):
+        assert out[("click", w * M)]["total_value"] == 4.0
+    # purchases: e1/e4/e6 (t<15) -> window 0 only; e2(t=50) -> 0/15/30/45
+    assert out[("purchase", 0)]["n_events"] == 4
+    assert out[("purchase", 0)]["total_value"] == 15.44
+    for w in (15, 30, 45):
+        assert out[("purchase", w * M)]["total_value"] == 0.75
+
+
+def test_interval_join_sessions(events_ds):
+    from mdm_ray.events import interval_join, sessionize
+
+    sess = sessionize(events_ds, gap_minutes=30)
+    out = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in interval_join(events_ds, sess).take_all()
+    }
+    assert out == {
+        0: (1, 1), 1: (1, 1), 2: (1, 2), 3: (1, 3),
+        4: (2, 1), 5: (3, 1), 6: (3, 1),
+    }
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data
+
+    from mdm_ray.dsutil import top_k_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 2 + ["c"] * 1),
+            "v": pa.array([10, 30, 20, 30, 5, 7, 7, 9], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        }
+    )
+    out = top_k_per_group(
+        ray.data.from_arrow(t), ["g"], "v", 2, "id"
+    ).to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    # a: v=30 ids 2,4 -> ranks 1,2 (id tiebreak); b: 6 before 7; c: lone row
+    assert list(zip(out["g"], out["id"], out["rank"])) == [
+        ("a", 2, 1), ("a", 4, 2), ("b", 6, 1), ("b", 7, 2), ("c", 8, 1)
+    ]
+
+
+def test_group_percentiles_exact(ray_session):
+    import ray.data
+
+    from mdm_ray.quantiles import group_percentiles
+
+    rng = np.random.default_rng(7)
+    g = np.repeat(["a", "b"], [137, 41])
+    v = np.round(rng.uniform(0, 100, size=len(g)), 2)
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(g), "v": pa.array(v, pa.float64())})
+    ).repartition(7)  # multi-block: exercise cross-block target routing
+    out = {r["g"]: r for r in group_percentiles(ds, "g", "v").take_all()}
+
+    for grp in ("a", "b"):
+        s = np.sort(v[g == grp])
+        n = len(s)
+        for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            expect = s[min(n - 1, int(np.ceil(q * n)) - 1)]
+            assert out[grp][name] == expect, (grp, name)
