@@ -1253,6 +1253,166 @@ def q_random_sample(sf_dir: str):
     )
 
 
+STRATIFIED_K = 50
+
+
+def q_stratified_sample(sf_dir: str):
+    """Seeded per-group sample: the deterministic-hash order of
+    q_random_sample applied PER lang stratum (top_k_per_group with
+    largest=False over the hash key) — the sampled set per stratum is
+    identical at any parallelism and exactly reproducible in SQL."""
+    from .dsutil import top_k_per_group
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids % np.uint64(2**32)) * np.uint64(_SAMPLE_MULT) % np.uint64(2**32)
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang": b["lang"],
+             "_h": pa.array(h.astype(np.int64), pa.int64())}
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "lang"])
+        .map_batches(keyed, batch_format="pyarrow")
+    )
+    return top_k_per_group(
+        ds, ["lang"], "_h", STRATIFIED_K, "doc_id", largest=False
+    ).drop_columns(["_h"])
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 4294967296)::HUGEINT * {_SAMPLE_MULT}) % 4294967296,
+                    doc_id) AS rn
+  FROM documents)
+WHERE rn <= {STRATIFIED_K}
+"""
+
+
+ANTI_JOIN_PRIORITY = "1-URGENT"
+
+
+def q_anti_join(sf_dir: str):
+    """Anti join: customers with NO urgent orders (the unfiltered variant is
+    degenerate on this fixture — every customer has some order). The right
+    side is filtered AT THE READ, distinct custkeys are pre-deduped per
+    batch (combiner) so the exchange carries unique keys, then ONE
+    copartition_join(left_outer) + null filter — no driver-side membership
+    set, scale-safe on both sides."""
+    from .dsutil import copartition_join, hash_partition_by
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_acctbal"]
+    )
+
+    def local_unique(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "_has_order": pa.array([], pa.int8())})
+        f = b.filter(pc.equal(b["o_orderpriority"], ANTI_JOIN_PRIORITY))
+        u = pc.unique(f["o_custkey"].combine_chunks())
+        return pa.table({"c_custkey": u,
+                         "_has_order": pa.array(np.ones(len(u), np.int8))})
+
+    order_keys = (
+        hash_partition_by(
+            _read(sf_dir, "orders")
+            .select_columns(["o_custkey", "o_orderpriority"])
+            .map_batches(local_unique, batch_format="pyarrow"),
+            "c_custkey",
+        )
+        .drop_columns(["_part"])
+        .map_batches(local_unique_pass2, batch_format="pyarrow")
+    )
+    joined = copartition_join(cust, order_keys, on="c_custkey", how="left_outer")
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["_has_order"])).select(
+            ["c_custkey", "c_name", "c_acctbal"]),
+        batch_format="pyarrow",
+    )
+
+
+def local_unique_pass2(b: pa.Table) -> pa.Table:
+    """Second-stage dedup after co-location: equal keys are now in one block."""
+    if b.num_rows == 0 or "c_custkey" not in b.column_names:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "_has_order": pa.array([], pa.int8())})
+    u = pc.unique(b["c_custkey"].combine_chunks())
+    return pa.table({"c_custkey": u,
+                     "_has_order": pa.array(np.ones(len(u), np.int8))})
+
+
+SQL_ANTI_JOIN = f"""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '{ANTI_JOIN_PRIORITY}')
+"""
+
+
+def q_distinct_count(sf_dir: str):
+    """COUNT(DISTINCT) per group, two-stage: per-batch local distinct pairs
+    (combiner), co-locate by the pair key so cross-batch duplicates meet in
+    one block, second local distinct, then a tiny per-priority count merge —
+    the exchange carries unique pairs, never raw rows."""
+    from .dsutil import hash_partition_by
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderpriority" not in b.column_names:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "_pk": pa.array([], pa.string())})
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "o_custkey": b["o_custkey"]})
+        g = t.group_by(["o_orderpriority", "o_custkey"]).aggregate([])
+        return g.append_column(
+            "_pk",
+            pc.binary_join_element_wise(
+                g["o_orderpriority"], pc.cast(g["o_custkey"], pa.string()), "|"),
+        )
+
+    def count_unique(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderpriority" not in b.column_names:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "o_custkey": b["o_custkey"]})
+        g = t.group_by(["o_orderpriority", "o_custkey"]).aggregate([])
+        c = g.group_by(["o_orderpriority"]).aggregate([("o_custkey", "count")])
+        return c.rename_columns(["o_orderpriority", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderpriority" not in b.column_names:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "distinct_customers": pa.array([], pa.int64())})
+        g = b.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
+        return g.rename_columns(["o_orderpriority", "distinct_customers"])
+
+    pairs = _read(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_custkey"]
+    ).map_batches(local_pairs, batch_format="pyarrow")
+    counted = hash_partition_by(pairs, "_pk").map_batches(
+        lambda b: count_unique(
+            b.select([c for c in b.column_names if c not in ("_pk", "_part")])),
+        batch_size=None, batch_format="pyarrow",
+    )
+    return hash_partition_by(counted, "o_orderpriority", n=8).map_batches(
+        lambda b: merge(
+            b.select([c for c in b.column_names if c != "_part"])),
+        batch_size=None, batch_format="pyarrow",
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 SQL_RANDOM_SAMPLE = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
@@ -1537,6 +1697,9 @@ QUERIES = {
     "random_sample": q_random_sample,
     "topk_per_group": q_topk_per_group,
     "percentiles": q_percentiles,
+    "stratified_sample": q_stratified_sample,
+    "anti_join": q_anti_join,
+    "distinct_count": q_distinct_count,
     "sessionize": q_sessionize,
     "window_agg": q_window_agg,
     "sliding_window": q_sliding_window,
@@ -1578,6 +1741,9 @@ ORACLES = {
     "sample_agg": SQL_SAMPLE_AGG,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "percentiles": SQL_PERCENTILES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "anti_join": SQL_ANTI_JOIN,
+    "distinct_count": SQL_DISTINCT_COUNT,
     "sessionize": SQL_SESSIONIZE,
     "window_agg": SQL_WINDOW_AGG,
     "sliding_window": SQL_SLIDING_WINDOW,
