@@ -145,6 +145,47 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     }
 
 
+def run_incremental_bench(num_cpus: int, base_customers: int = 5000,
+                          stream_records: int = 2000) -> dict:
+    """Streaming-twin throughput: batch-resolve a base corpus, then time ONE
+    incremental mini-batch merge (candidate gen + 4-way scoring + argmax +
+    upsert survivorship + staging/match-result sinks — the full streaming
+    path). Reference comparison: ~185 ms/record single-record loop
+    (MDM_STREAMING_PROCESSING.md:203)."""
+    import ray.data
+
+    from mdm_ray import incremental, pipeline, synth
+    from mdm_ray.dsutil import ensure_context
+
+    ensure_context()
+    docs = synth.generate_documents_ray(
+        base_customers, parallelism=num_cpus).materialize()
+    golden = pipeline.run_er(docs)["golden"].materialize()
+    # warm the merge path (worker imports, actor startup) with a 50-doc batch
+    warm = ray.data.from_arrow(
+        synth.generate_stream_docs(base_customers, 50)).materialize()
+    incremental.incremental_merge(warm, golden)["golden"].materialize()
+
+    stream_ds = ray.data.from_arrow(
+        synth.generate_stream_docs(base_customers, stream_records)).materialize()
+    t0 = time.time()
+    out = incremental.incremental_merge(stream_ds, golden)
+    n_golden = out["golden"].materialize().count()
+    n_results = out["match_results"].materialize().count()
+    n_staged = out["staged"].materialize().count()
+    wall = time.time() - t0
+    return {
+        "base_customers": base_customers,
+        "stream_records": stream_records,
+        "golden_after": n_golden,
+        "match_results": n_results,
+        "staged": n_staged,
+        "seconds": round(wall, 2),
+        "records_per_sec": round(stream_records / wall, 1),
+        "ms_per_record": round(1000.0 * wall / stream_records, 2),
+    }
+
+
 def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) -> dict:
     from mdm_ray import queries as Q
 
@@ -175,6 +216,8 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--customers", type=int, default=ER_CUSTOMERS)
     ap.add_argument("--er-only", action="store_true")
+    ap.add_argument("--incremental", action="store_true",
+                    help="streaming-twin mini-batch merge throughput")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--repeat", type=int, default=1,
                     help="repetitions per measurement; best kept (variance guard)")
@@ -313,6 +356,17 @@ def main() -> int:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     t0 = time.time()
+    if args.incremental:
+        inc = run_incremental_bench(args.num_cpus)
+        print(json.dumps({
+            "metric": "incremental_ms_per_record",
+            "value": inc["ms_per_record"],
+            "unit": "ms",
+            "incremental": inc,
+            "num_cpus": args.num_cpus,
+        }))
+        ray.shutdown()
+        return 0
     if args.er_only:
         er = run_er_bench(args.num_cpus, args.customers)
         for _ in range(args.repeat - 1):
