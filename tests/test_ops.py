@@ -499,3 +499,87 @@ def test_group_percentiles_exact(ray_session):
         for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
             expect = s[min(n - 1, int(np.ceil(q * n)) - 1)]
             assert out[grp][name] == expect, (grp, name)
+
+
+def test_event_ops_vs_bruteforce_random(ray_session):
+    """Seeded random corpus (ts collisions included) vs O(n^2) references."""
+    import ray.data
+
+    from mdm_ray.events import asof_join, interval_join, sessionize
+
+    rng = np.random.default_rng(42)
+    n = 600
+    MIN = 60_000_000
+    rows = sorted(
+        (int(rng.integers(0, 50)),                 # user
+         int(rng.integers(0, 400)) * (MIN // 4),   # ts: quarter-min grid -> ties
+         i,
+         ["click", "purchase", "view"][int(rng.integers(0, 3))],
+         float(rng.integers(0, 10000)) / 100.0)
+        for i in range(n)
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(9)
+
+    # brute-force sessionization per user, order (ts, event_id)
+    by_user: dict = {}
+    for u, ts, eid, et, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, et, v))
+    GAP = 30 * MIN
+    want_sessions = {}
+    want_assign = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, start = 0, None
+        cur: list = []
+        for ts, eid, et, v in evs:
+            if start is None or ts - cur[-1][0] > GAP:
+                if cur:
+                    want_sessions[(u, seq)] = cur
+                seq += 1
+                cur = []
+                start = ts
+            cur.append((ts, eid, v))
+            want_assign[eid] = (u, seq)
+        want_sessions[(u, seq)] = cur
+
+    got_sessions = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(ds, gap_minutes=30).take_all()
+    }
+    assert set(got_sessions) == set(want_sessions)
+    for k, evs in want_sessions.items():
+        g = got_sessions[k]
+        assert g["n_events"] == len(evs)
+        assert g["start_us"] == evs[0][0] and g["end_us"] == evs[-1][0]
+        assert g["total_value"] == round(sum(e[2] for e in evs), 6)
+
+    # brute-force as-of: latest strictly-preceding click per purchase
+    want_asof = {}
+    for u, evs in by_user.items():
+        evs_sorted = sorted((ts, eid, et) for ts, eid, et, _ in evs)
+        for i, (ts, eid, et) in enumerate(evs_sorted):
+            if et != "purchase":
+                continue
+            best = None
+            for pts, peid, pet in evs_sorted[:i]:
+                if pet == "click":
+                    best = peid
+            want_asof[eid] = best
+    got_asof = {r["purchase_id"]: r["click_id"] for r in asof_join(ds).take_all()}
+    assert got_asof == want_asof
+
+    # brute-force interval join vs sessionize spans
+    got_ij = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in interval_join(ds, sessionize(ds, gap_minutes=30)).take_all()
+    }
+    assert got_ij == want_assign
