@@ -27,10 +27,12 @@ from .simfuncs import edit_similarity_batch, jaro_winkler_batch, token_overlap_b
 ROUND = 6
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    # column pruning AT the read (cheaper than a select_columns Project op:
+    # only the named columns leave the parquet reader)
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round(x: np.ndarray) -> np.ndarray:
@@ -151,9 +153,7 @@ def _add_block_key(ds, cols: list[str], name: str = "_bk"):
 
 def q_exact_pairs(sf_dir: str):
     ds = _add_block_key(
-        _read(sf_dir, "customer").select_columns(
-            ["c_custkey", "c_mktsegment", "c_nationkey"]
-        ),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_nationkey"]),
         ["c_mktsegment", "c_nationkey"],
     )
 
@@ -199,7 +199,7 @@ FROM customer a JOIN customer b
 # ---------------------------------------------------------------------------
 
 def _part_pairs(sf_dir: str):
-    return _read(sf_dir, "part").select_columns(["p_partkey", "p_name", "p_brand"])
+    return _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
 
 
 def _fused_brand_scored(sf_dir: str, make_scorer, cap: int = 256):
@@ -344,9 +344,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {V
 # ---------------------------------------------------------------------------
 
 def q_combined_scores(sf_dir: str):
-    ds = _read(sf_dir, "customer").select_columns(
-        ["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
-    ).map_batches(
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]).map_batches(
         lambda b: b.append_column("_bk", pc.cast(b["c_nationkey"], pa.string())),
         batch_format="pyarrow",
     )
@@ -461,7 +459,7 @@ def q_cluster_cc(sf_dir: str):
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
-    nodes = _read(sf_dir, "part").select_columns(["p_partkey"]).map_batches(
+    nodes = _read(sf_dir, "part", columns=["p_partkey"]).map_batches(
         lambda b: pa.table({"doc_id": b["p_partkey"]}),
         batch_format="pyarrow",
     )
@@ -509,9 +507,7 @@ def q_survivorship(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
     ds = _add_block_key(
-        _read(sf_dir, "customer").select_columns(
-            ["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
-        ),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]),
         ["c_mktsegment", "c_nationkey"],
         name="cluster_key",
     )
@@ -525,8 +521,7 @@ def q_survivorship(sf_dir: str):
         )
 
     per_cust = (
-        _read(sf_dir, "orders")
-        .select_columns(["o_custkey", "o_orderdate"])
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
         .map_batches(date_str, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Min("_odate"), Max("_odate"))
@@ -993,7 +988,11 @@ WINDOW_MINUTES = 60
 def q_sessionize(sf_dir: str):
     from .events import sessionize
 
-    return sessionize(_read(sf_dir, "events"), gap_minutes=SESSION_GAP_MINUTES)
+    return sessionize(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        gap_minutes=SESSION_GAP_MINUTES,
+    )
 
 
 SQL_SESSIONIZE = f"""
@@ -1021,7 +1020,10 @@ FROM sess GROUP BY user_id, session_seq
 def q_window_agg(sf_dir: str):
     from .events import window_agg
 
-    return window_agg(_read(sf_dir, "events"), window_minutes=WINDOW_MINUTES)
+    return window_agg(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]),
+        window_minutes=WINDOW_MINUTES,
+    )
 
 
 SQL_WINDOW_AGG = f"""
@@ -1043,7 +1045,7 @@ def q_sliding_window(sf_dir: str):
     from .events import sliding_window_agg
 
     return sliding_window_agg(
-        _read(sf_dir, "events"),
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]),
         window_minutes=WINDOW_MINUTES, hop_minutes=HOP_MINUTES,
     )
 
@@ -1066,7 +1068,8 @@ GROUP BY 1, 2
 def q_range_join(sf_dir: str):
     from .events import interval_join, sessionize
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
     sess = sessionize(ev, gap_minutes=SESSION_GAP_MINUTES)
     return interval_join(ev, sess)
 
@@ -1103,7 +1106,10 @@ def q_percentiles(sf_dir: str):
     sort + metadata-routed picks — mdm_ray/quantiles.py)."""
     from .quantiles import group_percentiles
 
-    return group_percentiles(_read(sf_dir, "events"), "event_type", "value")
+    return group_percentiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value",
+    )
 
 
 SQL_PERCENTILES = """
@@ -1118,7 +1124,11 @@ FROM events GROUP BY event_type
 def q_asof_join(sf_dir: str):
     from .events import asof_join
 
-    return asof_join(_read(sf_dir, "events"), "purchase", "click")
+    return asof_join(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"]),
+        "purchase", "click",
+    )
 
 
 SQL_ASOF_JOIN = """
@@ -1139,34 +1149,73 @@ FROM pc LEFT JOIN events e ON e.event_id = pc.click_id
 # ---------------------------------------------------------------------------
 
 def q_analytics_agg(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Mean, Sum
+    """A8 analytics rollup, partial-aggregate form: each batch reduces to
+    its (returnflag, linestatus) partials in Acero (6 groups — the exchange
+    carries O(groups x blocks) rows, never the 600k lineitems), then one
+    tiny merge. Sums run in exact integer cents, so the result is identical
+    at any parallelism/order (no float-sum order dependence)."""
 
-    ds = _read(sf_dir, "lineitem").select_columns(
-        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
-    )
-    agged = _add_block_key(ds, ["l_returnflag", "l_linestatus"], name="grp").groupby(
-        "grp"
-    ).aggregate(Count(), Sum("l_quantity"), Mean("l_extendedprice"), Max("l_discount"))
-
-    def finalize(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "grp": b["grp"],
-                "row_count": b["count()"],
-                "sum_qty": pa.array(
-                    _round(b["sum(l_quantity)"].to_numpy(zero_copy_only=False)), pa.float64()
-                ),
-                "avg_price": pa.array(
-                    _round(b["mean(l_extendedprice)"].to_numpy(zero_copy_only=False)),
-                    pa.float64(),
-                ),
-                "max_discount": pa.array(
-                    _round(b["max(l_discount)"].to_numpy(zero_copy_only=False)), pa.float64()
-                ),
-            }
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_returnflag" not in b.column_names:
+            return pa.table({
+                "grp": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "qty_c": pa.array([], pa.int64()),
+                "price_c": pa.array([], pa.int64()),
+                "disc_max": pa.array([], pa.float64()),
+            })
+        grp = pc.binary_join_element_wise(
+            b["l_returnflag"], b["l_linestatus"], "|")
+        t = pa.table({
+            "grp": grp,
+            "qty_c": pa.array(np.rint(
+                b["l_quantity"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64), pa.int64()),
+            "price_c": pa.array(np.rint(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64), pa.int64()),
+            "disc": b["l_discount"],
+        })
+        g = t.group_by(["grp"]).aggregate(
+            [("qty_c", "count"), ("qty_c", "sum"), ("price_c", "sum"),
+             ("disc", "max")]
         )
+        return g.rename_columns(["grp", "n", "qty_c", "price_c", "disc_max"])
 
-    return agged.map_batches(finalize, batch_format="pyarrow")
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "grp" not in b.column_names:
+            return pa.table({
+                "grp": pa.array([], pa.string()),
+                "row_count": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.float64()),
+                "avg_price": pa.array([], pa.float64()),
+                "max_discount": pa.array([], pa.float64()),
+            })
+        g = b.group_by(["grp"]).aggregate(
+            [("n", "sum"), ("qty_c", "sum"), ("price_c", "sum"),
+             ("disc_max", "max")]
+        )
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "grp": g["grp"],
+            "row_count": g["n_sum"],
+            "sum_qty": pa.array(_round(
+                g["qty_c_sum"].to_numpy(zero_copy_only=False) / 100.0),
+                pa.float64()),
+            "avg_price": pa.array(_round(
+                g["price_c_sum"].to_numpy(zero_copy_only=False) / 100.0 / n),
+                pa.float64()),
+            "max_discount": pa.array(_round(
+                g["disc_max_max"].to_numpy(zero_copy_only=False)), pa.float64()),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    return ds.map_batches(
+        partial, batch_size=None, batch_format="pyarrow"
+    ).repartition(1, shuffle=False).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
 
 
 SQL_ANALYTICS_AGG = """
@@ -1208,7 +1257,7 @@ def q_topk_per_group(sf_dir: str):
     from .dsutil import top_k_per_group
 
     return top_k_per_group(
-        _read(sf_dir, "documents").select_columns(["doc_id", "lang", "source", "n_chars"]),
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"]),
         group_cols=["lang", "source"], order_col="n_chars",
         k=TOPK_PER_GROUP_K, tie_col="doc_id",
     )
@@ -1244,8 +1293,7 @@ def q_random_sample(sf_dir: str):
         )
 
     return (
-        _read(sf_dir, "documents")
-        .select_columns(["doc_id", "lang"])
+        _read(sf_dir, "documents", columns=["doc_id", "lang"])
         .map_batches(keyed, batch_format="pyarrow")
         .sort(["_h", "doc_id"])
         .limit(RANDOM_SAMPLE_K)
@@ -1272,8 +1320,7 @@ def q_stratified_sample(sf_dir: str):
         )
 
     ds = (
-        _read(sf_dir, "documents")
-        .select_columns(["doc_id", "lang"])
+        _read(sf_dir, "documents", columns=["doc_id", "lang"])
         .map_batches(keyed, batch_format="pyarrow")
     )
     return top_k_per_group(
@@ -1305,9 +1352,7 @@ def q_anti_join(sf_dir: str):
     set, scale-safe on both sides."""
     from .dsutil import copartition_join, hash_partition_by
 
-    cust = _read(sf_dir, "customer").select_columns(
-        ["c_custkey", "c_name", "c_acctbal"]
-    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
 
     def local_unique(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "o_custkey" not in b.column_names:
@@ -1320,8 +1365,7 @@ def q_anti_join(sf_dir: str):
 
     order_keys = (
         hash_partition_by(
-            _read(sf_dir, "orders")
-            .select_columns(["o_custkey", "o_orderpriority"])
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
             .map_batches(local_unique, batch_format="pyarrow"),
             "c_custkey",
         )
@@ -1392,9 +1436,7 @@ def q_distinct_count(sf_dir: str):
         g = b.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
         return g.rename_columns(["o_orderpriority", "distinct_customers"])
 
-    pairs = _read(sf_dir, "orders").select_columns(
-        ["o_orderpriority", "o_custkey"]
-    ).map_batches(local_pairs, batch_format="pyarrow")
+    pairs = _read(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"]).map_batches(local_pairs, batch_format="pyarrow")
     counted = hash_partition_by(pairs, "_pk").map_batches(
         lambda b: count_unique(
             b.select([c for c in b.column_names if c not in ("_pk", "_part")])),
@@ -1444,9 +1486,7 @@ def q_er_e2e(sf_dir: str):
     from .dsutil import zip_with_index
 
     ds = _add_block_key(
-        _read(sf_dir, "customer").select_columns(
-            ["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
-        ),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]),
         ["c_nationkey", "c_mktsegment"],
     )
 
