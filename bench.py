@@ -200,6 +200,17 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
     er = run_er_bench(num_cpus, customers)
     timings["er_pipeline"] = er["seconds"]["total"]
 
+    # warm each query family once at the smallest sf (sub-second each):
+    # worker-side UDF imports / regex compiles / Acero warmup happen before
+    # the clock, so the timed numbers measure the operator, not cold start
+    warm_sf = sf_dir.replace("sf0.1", "sf0.001")
+    if warm_sf != sf_dir:
+        for qn in ("q_dedup_jaccard", "q_dedup_minhash", "q_ann_topk",
+                   "q_analytics_agg", "q_token_count", "q_fuzzy_pairs",
+                   "q_cluster_cc", "q_sessionize", "q_range_join",
+                   "q_percentiles", "q_distinct_count"):
+            getattr(Q, qn)(warm_sf).count()
+
     timed("dedup_jaccard", lambda: Q.q_dedup_jaccard(sf_dir).count())
     timed("dedup_minhash", lambda: Q.q_dedup_minhash(sf_dir).count())
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).count())
@@ -207,6 +218,10 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
     timed("token_count", lambda: Q.q_token_count(sf_dir).count())
     timed("fuzzy_pairs", lambda: Q.q_fuzzy_pairs(sf_dir).count())
     timed("cluster_cc", lambda: Q.q_cluster_cc(sf_dir).count())
+    timed("sessionize", lambda: Q.q_sessionize(sf_dir).count())
+    timed("range_join", lambda: Q.q_range_join(sf_dir).count())
+    timed("percentiles", lambda: Q.q_percentiles(sf_dir).count())
+    timed("distinct_count", lambda: Q.q_distinct_count(sf_dir).count())
     return {"er": er, "queries": timings}
 
 
