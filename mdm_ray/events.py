@@ -52,12 +52,27 @@ def _cents(values: np.ndarray) -> np.ndarray:
     return np.rint(values * 100.0).astype(np.int64)
 
 
-def sessionize(ds, gap_minutes: int = 30, min_events: int = 1):
+def sessionize(ds, gap_minutes: int = 30, min_events: int = 1,
+               chunk_hours: int | None = None):
     """Gap-based sessionization: a user's events sorted by (ts, event_id)
     start a new session when the gap to the previous event exceeds
     ``gap_minutes``. Emits one row per session:
-    (user_id, session_seq, n_events, start_us, end_us, total_value)."""
+    (user_id, session_seq, n_events, start_us, end_us, total_value).
+
+    ``chunk_hours=None`` (default): ONE exchange on user_id; assumes a
+    user's timeline fits a block. ``chunk_hours=k``: the two-level scale
+    path with NO such assumption — events are exchanged on
+    (user, time-chunk), each chunk emits session FRAGMENTS locally, and a
+    second exchange carries only the per-fragment summaries (one row per
+    fragment — never the events) to a per-user stitch that merges fragments
+    across chunk boundaries when the gap allows. All fragment aggregates
+    are associative (count / int-cents sum / min / max), so the stitched
+    output is bit-identical to the single-level path (equivalence test in
+    tests/test_ops.py)."""
     gap_us = gap_minutes * _US_PER_MIN
+    if chunk_hours is not None:
+        return _sessionize_chunked(ds, gap_us, min_events,
+                                   chunk_hours * 60 * _US_PER_MIN)
 
     def empty() -> pa.Table:
         return pa.table(
@@ -110,6 +125,125 @@ def sessionize(ds, gap_minutes: int = 30, min_events: int = 1):
     cols = ["event_id", "ts", "user_id", "value"]
     return hash_partition_by(ds.select_columns(cols), "user_id").map_batches(
         kernel, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def _sessionize_chunked(ds, gap_us: int, min_events: int, chunk_us: int):
+    """Two-level sessionize (see :func:`sessionize`). Stage 1 partitions on
+    (user, ts // chunk_us) so even one user's events split into bounded
+    blocks; stage 2 partitions the tiny fragment table on user."""
+
+    def add_chunk_key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"_ck": pa.array([], pa.string())})
+        ts = pc.cast(b["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        chunk = pa.array(ts // chunk_us, pa.int64())
+        return b.append_column(
+            "_ck",
+            pc.binary_join_element_wise(
+                pc.cast(b["user_id"], pa.string()),
+                pc.cast(chunk, pa.string()), "|",
+            ),
+        )
+
+    def fragment_kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        s = _sorted_block(b, ["value"])
+        uid, ts = s["user_id"], s["ts"]
+        n = len(uid)
+        # chunk breaks are implicit: a block may hold several (user, chunk)
+        # groups, and a gap <= gap_us across a chunk edge is healed in the
+        # stitch — here every user/chunk/gap change starts a new fragment
+        chunk = ts // chunk_us
+        new_frag = (
+            np.concatenate(([True], uid[1:] != uid[:-1]))
+            | np.concatenate(([True], chunk[1:] != chunk[:-1]))
+            | np.concatenate(([True], (ts[1:] - ts[:-1]) > gap_us))
+        )
+        starts = np.nonzero(new_frag)[0]
+        stops = np.append(starts[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[stops - 1], pa.int64()),
+                "n_events": pa.array(stops - starts, pa.int64()),
+                "cents": pa.array(
+                    np.add.reduceat(_cents(s["value"]), starts), pa.int64()
+                ),
+            }
+        )
+
+    def stitch_kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_seq": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "total_value": pa.array([], pa.float64()),
+                }
+            )
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        st = b["start_us"].to_numpy(zero_copy_only=False)
+        en = b["end_us"].to_numpy(zero_copy_only=False)
+        cnt = b["n_events"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((en, st, uid))
+        uid, st, en, cnt, cents = (
+            uid[order], st[order], en[order], cnt[order], cents[order])
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        # fragments are time-disjoint per user (chunks partition time), so
+        # consecutive-sorted merge is exact
+        new_sess = new_user | np.concatenate(
+            ([True], (st[1:] - en[:-1]) > gap_us))
+        starts = np.nonzero(new_sess)[0]
+        stops = np.append(starts[1:], len(uid))
+        su = uid[starts]
+        first_of_user = np.maximum.accumulate(
+            np.where(np.concatenate(([True], su[1:] != su[:-1])),
+                     np.arange(len(starts)), 0)
+        )
+        n_ev = np.add.reduceat(cnt, starts)
+        tot = np.add.reduceat(cents, starts)
+        keep = n_ev >= min_events
+        return pa.table(
+            {
+                "user_id": pa.array(su[keep], pa.int64()),
+                "session_seq": pa.array(
+                    (np.arange(len(starts)) - first_of_user + 1)[keep],
+                    pa.int64()),
+                "n_events": pa.array(n_ev[keep], pa.int64()),
+                "start_us": pa.array(st[starts][keep], pa.int64()),
+                "end_us": pa.array(en[stops - 1][keep], pa.int64()),
+                "total_value": pa.array(
+                    tot[keep].astype(np.float64) / 100.0, pa.float64()),
+            }
+        )
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    frags = (
+        hash_partition_by(
+            ds.select_columns(cols).map_batches(
+                add_chunk_key, batch_format="pyarrow"),
+            "_ck",
+        )
+        .map_batches(fragment_kernel, batch_size=None, batch_format="pyarrow")
+    )
+    return hash_partition_by(frags, "user_id").map_batches(
+        stitch_kernel, batch_size=None, batch_format="pyarrow"
     )
 
 

@@ -583,3 +583,40 @@ def test_event_ops_vs_bruteforce_random(ray_session):
         for r in interval_join(ds, sessionize(ds, gap_minutes=30)).take_all()
     }
     assert got_ij == want_assign
+
+
+def test_sessionize_chunked_equivalent(ray_session):
+    """Two-level (time-chunked) sessionize is bit-identical to single-level
+    on a random corpus whose sessions straddle chunk boundaries."""
+    import ray.data
+
+    from mdm_ray.events import sessionize
+
+    rng = np.random.default_rng(11)
+    n = 800
+    MIN = 60_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            # 0..40h on a 10-min grid: plenty of 1h-chunk boundary crossings
+            "ts": pa.array(
+                (rng.integers(0, 240, size=n) * 10 * MIN).astype("int64")
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 25, size=n), pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(
+                rng.integers(0, 5000, size=n).astype("float64") / 100.0),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(11)
+
+    def canon(res):
+        df = res.to_pandas().sort_values(["user_id", "session_seq"])
+        return df.reset_index(drop=True)
+
+    for min_events in (1, 2):
+        a = canon(sessionize(ds, gap_minutes=30, min_events=min_events))
+        b = canon(sessionize(ds, gap_minutes=30, min_events=min_events,
+                             chunk_hours=1))
+        assert a.equals(b), f"min_events={min_events}"
+        assert len(a) > 0
