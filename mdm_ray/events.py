@@ -492,7 +492,8 @@ def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
     )
 
 
-def asof_join(ds, left_type: str = "purchase", right_type: str = "click"):
+def asof_join(ds, left_type: str = "purchase", right_type: str = "click",
+              chunk_hours: int | None = None):
     """Per-entity as-of join: for every ``left_type`` event, the most recent
     strictly-preceding ``right_type`` event by the same user (order =
     (ts, event_id) — deterministic under equal timestamps). LEFT semantics:
@@ -502,7 +503,19 @@ def asof_join(ds, left_type: str = "purchase", right_type: str = "click"):
     last-occurrence carry-forward (``np.maximum.accumulate`` over click
     positions, invalidated across user boundaries) — the Ray Data
     composition the operator table calls for where the Dataset API lacks a
-    native as-of join."""
+    native as-of join.
+
+    ``chunk_hours=None``: one exchange on user_id (a user's timeline fits a
+    block). ``chunk_hours=k``: two-level scale path — exchange on
+    (user, time-chunk); lefts with a local preceding right resolve in-chunk,
+    and only the UNMATCHED lefts plus one last-right summary row per
+    (user, chunk) ride the per-user stitch exchange. A left unmatched in its
+    chunk has no in-chunk right before it, so its true match is the last
+    right of any earlier chunk = the summary carry-forward; results are
+    bit-identical to the single-level path (equivalence test)."""
+    if chunk_hours is not None:
+        return _asof_join_chunked(
+            ds, left_type, right_type, chunk_hours * 60 * _US_PER_MIN)
 
     def empty() -> pa.Table:
         return pa.table(
@@ -551,3 +564,176 @@ def asof_join(ds, left_type: str = "purchase", right_type: str = "click"):
     return hash_partition_by(ds.select_columns(cols), "user_id").map_batches(
         kernel, batch_size=None, batch_format="pyarrow"
     )
+
+
+def _asof_join_chunked(ds, left_type: str, right_type: str, chunk_us: int):
+    """Two-level as-of join (see :func:`asof_join`)."""
+
+    def add_chunk_key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"_ck": pa.array([], pa.string())})
+        ts = pc.cast(b["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return b.append_column(
+            "_ck",
+            pc.binary_join_element_wise(
+                pc.cast(b["user_id"], pa.string()),
+                pc.cast(pa.array(ts // chunk_us, pa.int64()), pa.string()),
+                "|",
+            ),
+        )
+
+    def _mixed_empty() -> pa.Table:
+        return pa.table(
+            {
+                "purchase_id": pa.array([], pa.int64()),
+                "purchase_us": pa.array([], pa.int64()),
+                "click_id": pa.array([], pa.int64()),
+                "click_us": pa.array([], pa.int64()),
+                "_u": pa.array([], pa.int64()),
+                "_c": pa.array([], pa.int64()),
+                "_kind": pa.array([], pa.int8()),
+            }
+        )
+
+    def chunk_kernel(b: pa.Table) -> pa.Table:
+        # emits _kind 2 = resolved match, 1 = unmatched left, 0 = per-chunk
+        # last-right summary
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return _mixed_empty()
+        s = _sorted_block(b, ["event_type"])
+        uid, ts, eid, et = s["user_id"], s["ts"], s["event_id"], s["event_type"]
+        n = len(uid)
+        idx = np.arange(n)
+        chunk = ts // chunk_us
+        seg_start_mask = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (chunk[1:] != chunk[:-1]))
+        )
+        seg_start = np.maximum.accumulate(np.where(seg_start_mask, idx, 0))
+        is_right = et == right_type
+        last_right = np.maximum.accumulate(np.where(is_right, idx, -1))
+        lefts = np.nonzero(et == left_type)[0]
+        j = last_right[lefts]
+        ok = j >= seg_start[lefts]
+        m, um = lefts[ok], lefts[~ok]
+        jm = j[ok]
+        # per-(user, chunk) last right: segments are contiguous; the carry at
+        # the segment's LAST position is the segment's last right (if in-seg)
+        seg_starts = np.nonzero(seg_start_mask)[0]
+        seg_stops = np.append(seg_starts[1:], n)
+        lr = last_right[seg_stops - 1]
+        has = lr >= seg_starts
+        sm = seg_starts[has]
+        lrm = lr[has]
+        zeros = np.zeros
+        parts = [
+            pa.table(
+                {
+                    "purchase_id": pa.array(eid[m], pa.int64()),
+                    "purchase_us": pa.array(ts[m], pa.int64()),
+                    "click_id": pa.array(eid[jm], pa.int64()),
+                    "click_us": pa.array(ts[jm], pa.int64()),
+                    "_u": pa.array(uid[m], pa.int64()),
+                    "_c": pa.array(chunk[m], pa.int64()),
+                    "_kind": pa.array(np.full(len(m), 2, np.int8)),
+                }
+            ),
+            pa.table(
+                {
+                    "purchase_id": pa.array(eid[um], pa.int64()),
+                    "purchase_us": pa.array(ts[um], pa.int64()),
+                    "click_id": pa.array(zeros(len(um), np.int64)),
+                    "click_us": pa.array(zeros(len(um), np.int64)),
+                    "_u": pa.array(uid[um], pa.int64()),
+                    "_c": pa.array(chunk[um], pa.int64()),
+                    "_kind": pa.array(np.full(len(um), 1, np.int8)),
+                }
+            ),
+            pa.table(
+                {
+                    "purchase_id": pa.array(zeros(len(sm), np.int64)),
+                    "purchase_us": pa.array(zeros(len(sm), np.int64)),
+                    "click_id": pa.array(eid[lrm], pa.int64()),
+                    "click_us": pa.array(ts[lrm], pa.int64()),
+                    "_u": pa.array(uid[sm], pa.int64()),
+                    "_c": pa.array(chunk[sm], pa.int64()),
+                    "_kind": pa.array(zeros(len(sm), np.int8)),
+                }
+            ),
+        ]
+        return pa.concat_tables(parts)
+
+    def stitch_kernel(b: pa.Table) -> pa.Table:
+        # input: _kind 0 summaries + _kind 1 unmatched lefts, partitioned by
+        # user. Within a chunk, lefts sort BEFORE that chunk's summary (an
+        # unmatched left may only see EARLIER chunks' rights).
+        if b.num_rows == 0 or "_u" not in b.column_names:
+            return pa.table(
+                {
+                    "purchase_id": pa.array([], pa.int64()),
+                    "purchase_us": pa.array([], pa.int64()),
+                    "click_id": pa.array([], pa.int64()),
+                    "click_us": pa.array([], pa.int64()),
+                }
+            )
+        u = b["_u"].to_numpy(zero_copy_only=False)
+        c = b["_c"].to_numpy(zero_copy_only=False)
+        kind = b["_kind"].to_numpy(zero_copy_only=False)
+        pid = b["purchase_id"].to_numpy(zero_copy_only=False)
+        pus = b["purchase_us"].to_numpy(zero_copy_only=False)
+        cid = b["click_id"].to_numpy(zero_copy_only=False)
+        cus = b["click_us"].to_numpy(zero_copy_only=False)
+        # kind 1 (left) before kind 0 (summary) at equal chunk → invert kind
+        order = np.lexsort((-kind, c, u))
+        u, c, kind, pid, pus, cid, cus = (
+            u[order], c[order], kind[order], pid[order], pus[order],
+            cid[order], cus[order])
+        n = len(u)
+        idx = np.arange(n)
+        last_sum = np.maximum.accumulate(np.where(kind == 0, idx, -1))
+        user_start = np.maximum.accumulate(
+            np.where(np.concatenate(([True], u[1:] != u[:-1])), idx, 0)
+        )
+        pts = np.nonzero(kind == 1)[0]
+        j = last_sum[pts]
+        ok = j >= user_start[pts]
+        out_cid = np.where(ok, cid[np.maximum(j, 0)], 0)
+        out_cus = np.where(ok, cus[np.maximum(j, 0)], 0)
+        return pa.table(
+            {
+                "purchase_id": pa.array(pid[pts], pa.int64()),
+                "purchase_us": pa.array(pus[pts], pa.int64()),
+                "click_id": pa.array(
+                    np.ma.masked_array(out_cid, mask=~ok), pa.int64()),
+                "click_us": pa.array(
+                    np.ma.masked_array(out_cus, mask=~ok), pa.int64()),
+            }
+        )
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    mixed = hash_partition_by(
+        ds.select_columns(cols).map_batches(add_chunk_key, batch_format="pyarrow"),
+        "_ck",
+    ).map_batches(chunk_kernel, batch_size=None, batch_format="pyarrow").materialize()
+
+    matched = mixed.map_batches(
+        lambda b: (
+            b.filter(pc.equal(b["_kind"], 2)).select(
+                ["purchase_id", "purchase_us", "click_id", "click_us"])
+            if b.num_rows and "_kind" in b.column_names
+            else _mixed_empty().select(
+                ["purchase_id", "purchase_us", "click_id", "click_us"])
+        ),
+        batch_format="pyarrow",
+    )
+    rest = mixed.map_batches(
+        lambda b: (
+            b.filter(pc.not_equal(b["_kind"], 2))
+            if b.num_rows and "_kind" in b.column_names else _mixed_empty()
+        ),
+        batch_format="pyarrow",
+    )
+    stitched = hash_partition_by(rest, "_u").map_batches(
+        stitch_kernel, batch_size=None, batch_format="pyarrow"
+    )
+    return matched.union(stitched)

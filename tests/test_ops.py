@@ -620,3 +620,38 @@ def test_sessionize_chunked_equivalent(ray_session):
                              chunk_hours=1))
         assert a.equals(b), f"min_events={min_events}"
         assert len(a) > 0
+
+
+def test_asof_chunked_equivalent(ray_session):
+    """Two-level (time-chunked) as-of join is identical to single-level."""
+    import ray.data
+
+    from mdm_ray.events import asof_join
+
+    rng = np.random.default_rng(13)
+    n = 900
+    MIN = 60_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                (rng.integers(0, 300, size=n) * 10 * MIN).astype("int64")
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 20, size=n), pa.int64()),
+            "event_type": pa.array(
+                np.where(rng.random(n) < 0.4, "click", "purchase")),
+            "value": pa.array(np.ones(n)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(13)
+
+    def canon(res):
+        return {
+            r["purchase_id"]: (r["click_id"], r["click_us"])
+            for r in res.take_all()
+        }
+
+    a = canon(asof_join(ds))
+    b = canon(asof_join(ds, chunk_hours=1))
+    assert a == b and len(a) > 0
+    assert any(v[0] is None for v in a.values())  # some unmatched lefts exist
