@@ -9,11 +9,15 @@ exchange), then a per-block vectorized kernel sorts locally by
 ``(user, ts, event_id)`` and computes the windows/matches with NumPy
 segment ops — no per-row Python, no driver-side data.
 
-Partitioning assumption (documented per the custom-operator rule): one
-entity's events fit in a worker block. User timelines are bounded in
-practice (≤ millions of events ≪ block budget); a pathological entity would
-need time-range chunking with boundary stitching, which these kernels do not
-implement.
+Partitioning assumption (documented per the custom-operator rule): the
+default paths put one entity's full timeline in one block (user timelines
+are bounded in practice — ≤ millions of events ≪ block budget).
+``sessionize``, ``asof_join`` and ``interval_join`` also provide a
+two-level ``chunk_hours=k`` scale path with NO such assumption: events are
+exchanged on (user, time-chunk), resolved locally, and only per-chunk
+summaries (session fragments / last-right rows / replicated interval rows —
+never the events) cross the second, tiny exchange. Outputs are
+bit-identical to the single-level paths (equivalence tests).
 
 Money-safe sums: ``value`` sums are accumulated in integer cents
 (``rint(value·100)``) so the 6-decimal rounded output is exact regardless of
@@ -401,17 +405,26 @@ def window_agg_from_keyed(ds):
 
 def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
                   point_id: str = "event_id", start: str = "start_us",
-                  end: str = "end_us", interval_key: str = "session_seq"):
+                  end: str = "end_us", interval_key: str = "session_seq",
+                  chunk_hours: int | None = None):
     """Range (point-in-interval) join: each point row matches the interval of
     the same ``by`` key with ``start <= point_ts <= end``. INNER semantics.
 
-    Partitioning assumption (documented): intervals are NON-OVERLAPPING per
-    key — the containing interval is then the last one whose start precedes
-    the point, so the whole join is ONE union exchange on ``by`` plus the
-    same segmented carry-forward kernel as :func:`asof_join` — no per-group
-    Python, no O(points × intervals) blowup.
+    Intervals must be NON-OVERLAPPING per key — the containing interval is
+    then the last one whose start precedes the point, so the join is ONE
+    union exchange plus the same segmented carry-forward kernel as
+    :func:`asof_join` — no per-group Python, no O(points × intervals)
+    blowup.
+
+    ``chunk_hours=None``: exchange on ``by`` (one key's rows fit a block).
+    ``chunk_hours=k``: two-level scale path — points carry their time chunk,
+    each interval is REPLICATED once per chunk it overlaps (intervals are
+    already summaries, so the replication is tiny), and the exchange runs on
+    (key, chunk): no single-block-per-key assumption; a point meets exactly
+    the replicas overlapping its chunk, so matches are identical.
 
     Returns (point_id, by, point_us, interval_key)."""
+    chunk_us = (chunk_hours * 60 * _US_PER_MIN) if chunk_hours else None
 
     def empty() -> pa.Table:
         return pa.table(
@@ -425,9 +438,12 @@ def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
 
     def tag_points(b: pa.Table) -> pa.Table:
         ts = pc.cast(b[point_ts].combine_chunks(), pa.int64())
+        tnp = ts.to_numpy(zero_copy_only=False)
+        c = tnp // chunk_us if chunk_us else np.zeros(len(tnp), np.int64)
         return pa.table(
             {
                 "_by": pc.cast(b[by].combine_chunks(), pa.int64()),
+                "_c": pa.array(c, pa.int64()),
                 "_t": ts,
                 "_end": pa.nulls(b.num_rows, pa.int64()),
                 "_pid": pc.cast(b[point_id].combine_chunks(), pa.int64()),
@@ -437,14 +453,39 @@ def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
         )
 
     def tag_intervals(b: pa.Table) -> pa.Table:
+        st = pc.cast(b[start].combine_chunks(), pa.int64())
+        en = pc.cast(b[end].combine_chunks(), pa.int64())
+        if chunk_us is None:
+            return pa.table(
+                {
+                    "_by": pc.cast(b[by].combine_chunks(), pa.int64()),
+                    "_c": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                    "_t": st,
+                    "_end": en,
+                    "_pid": pa.nulls(b.num_rows, pa.int64()),
+                    "_ik": pc.cast(b[interval_key].combine_chunks(), pa.int64()),
+                    "_kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                }
+            )
+        # one replica per chunk the interval overlaps
+        stn = st.to_numpy(zero_copy_only=False)
+        enn = en.to_numpy(zero_copy_only=False)
+        c0 = stn // chunk_us
+        counts = (enn // chunk_us - c0 + 1).astype(np.int64)
+        ridx = np.repeat(np.arange(b.num_rows, dtype=np.int64), counts)
+        within = np.arange(len(ridx), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        take = pa.array(ridx, pa.int64())
         return pa.table(
             {
-                "_by": pc.cast(b[by].combine_chunks(), pa.int64()),
-                "_t": pc.cast(b[start].combine_chunks(), pa.int64()),
-                "_end": pc.cast(b[end].combine_chunks(), pa.int64()),
-                "_pid": pa.nulls(b.num_rows, pa.int64()),
-                "_ik": pc.cast(b[interval_key].combine_chunks(), pa.int64()),
-                "_kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                "_by": pc.cast(b[by].combine_chunks(), pa.int64()).take(take),
+                "_c": pa.array(c0[ridx] + within, pa.int64()),
+                "_t": st.take(take),
+                "_end": en.take(take),
+                "_pid": pa.nulls(len(ridx), pa.int64()),
+                "_ik": pc.cast(
+                    b[interval_key].combine_chunks(), pa.int64()).take(take),
+                "_kind": pa.array(np.zeros(len(ridx), np.int8), pa.int8()),
             }
         )
 
@@ -452,12 +493,14 @@ def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
         if b.num_rows == 0 or "_by" not in b.column_names:
             return empty()
         uid = b["_by"].to_numpy(zero_copy_only=False)
+        cch = b["_c"].to_numpy(zero_copy_only=False)
         t = b["_t"].to_numpy(zero_copy_only=False)
         kind = b["_kind"].to_numpy(zero_copy_only=False)
         # intervals (_kind 0) sort before points at equal t: start == ts
-        # counts as containment
-        order = np.lexsort((kind, t, uid))
-        uid, t, kind = uid[order], t[order], kind[order]
+        # counts as containment; segments are (key, chunk) runs (chunk is
+        # all-zero in single-level mode)
+        order = np.lexsort((kind, t, cch, uid))
+        uid, cch, t, kind = uid[order], cch[order], t[order], kind[order]
         endv = pc.fill_null(b["_end"], -1).to_numpy(zero_copy_only=False)[order]
         pid = pc.fill_null(b["_pid"], 0).to_numpy(zero_copy_only=False)[order]
         ik = pc.fill_null(b["_ik"], 0).to_numpy(zero_copy_only=False)[order]
@@ -465,7 +508,12 @@ def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
         idx = np.arange(n)
         last_iv = np.maximum.accumulate(np.where(kind == 0, idx, -1))
         user_start = np.maximum.accumulate(
-            np.where(np.concatenate(([True], uid[1:] != uid[:-1])), idx, 0)
+            np.where(
+                np.concatenate(
+                    ([True], (uid[1:] != uid[:-1]) | (cch[1:] != cch[:-1]))
+                ),
+                idx, 0,
+            )
         )
         pts = np.nonzero(kind == 1)[0]
         j = last_iv[pts]
@@ -487,7 +535,24 @@ def interval_join(points, intervals, by: str = "user_id", point_ts: str = "ts",
             tag_intervals, batch_format="pyarrow"
         )
     )
-    return hash_partition_by(union, "_by").map_batches(
+    if chunk_us is None:
+        part_key = "_by"
+    else:
+        part_key = "_ck"
+
+        def add_ck(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "_by" not in b.column_names:
+                return pa.table({"_ck": pa.array([], pa.string())})
+            return b.append_column(
+                "_ck",
+                pc.binary_join_element_wise(
+                    pc.cast(b["_by"], pa.string()),
+                    pc.cast(b["_c"], pa.string()), "|",
+                ),
+            )
+
+        union = union.map_batches(add_ck, batch_format="pyarrow")
+    return hash_partition_by(union, part_key).map_batches(
         kernel, batch_size=None, batch_format="pyarrow"
     )
 

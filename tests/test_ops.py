@@ -655,3 +655,37 @@ def test_asof_chunked_equivalent(ray_session):
     b = canon(asof_join(ds, chunk_hours=1))
     assert a == b and len(a) > 0
     assert any(v[0] is None for v in a.values())  # some unmatched lefts exist
+
+
+def test_interval_join_chunked_equivalent(ray_session):
+    """Chunked range join (interval replication per overlapped chunk) is
+    identical to the single-level path, including intervals spanning many
+    chunks."""
+    import ray.data
+
+    from mdm_ray.events import interval_join, sessionize
+
+    rng = np.random.default_rng(17)
+    n = 700
+    MIN = 60_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            # 5-min grid over 50h: sessions regularly span 1h chunks
+            "ts": pa.array(
+                (rng.integers(0, 600, size=n) * 5 * MIN).astype("int64")
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 15, size=n), pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(np.ones(n)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    sess = sessionize(ds, gap_minutes=120)  # long gap -> multi-chunk sessions
+
+    def canon(res):
+        return {r["event_id"]: r["session_seq"] for r in res.take_all()}
+
+    a = canon(interval_join(ds, sess))
+    b = canon(interval_join(ds, sess, chunk_hours=1))
+    assert a == b and len(a) == n
