@@ -1101,6 +1101,42 @@ FROM events e JOIN spans s
 """
 
 
+CHUNK_HOURS = 2
+
+
+def q_sessionize_chunked(sf_dir: str):
+    """The two-level time-chunked sessionize scale path, hash-checked
+    against the SAME SQL oracle as q_sessionize (outputs are identical by
+    construction — events.py)."""
+    from .events import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        gap_minutes=SESSION_GAP_MINUTES, chunk_hours=CHUNK_HOURS,
+    )
+
+
+def q_asof_join_chunked(sf_dir: str):
+    from .events import asof_join
+
+    return asof_join(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"]),
+        "purchase", "click", chunk_hours=CHUNK_HOURS,
+    )
+
+
+def q_range_join_chunked(sf_dir: str):
+    from .events import interval_join, sessionize
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    sess = sessionize(ev, gap_minutes=SESSION_GAP_MINUTES,
+                      chunk_hours=CHUNK_HOURS)
+    return interval_join(ev, sess, chunk_hours=CHUNK_HOURS)
+
+
 def q_percentiles(sf_dir: str):
     """Exact per-group order statistics over events.value (distributed
     sort + metadata-routed picks — mdm_ray/quantiles.py)."""
@@ -1745,6 +1781,9 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
+    "sessionize_chunked": q_sessionize_chunked,
+    "asof_join_chunked": q_asof_join_chunked,
+    "range_join_chunked": q_range_join_chunked,
     "er_e2e": q_er_e2e,
     "er_golden": q_er_golden,
     "er_resolved": q_er_resolved,
@@ -1789,6 +1828,9 @@ ORACLES = {
     "sliding_window": SQL_SLIDING_WINDOW,
     "range_join": SQL_RANGE_JOIN,
     "asof_join": SQL_ASOF_JOIN,
+    "sessionize_chunked": SQL_SESSIONIZE,
+    "asof_join_chunked": SQL_ASOF_JOIN,
+    "range_join_chunked": SQL_RANGE_JOIN,
     # er_* (synthesized fixture corpus) / media_features (stubbed codecs):
     # rows-only checks
 }
