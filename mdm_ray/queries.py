@@ -1376,6 +1376,55 @@ WHERE rn <= {STRATIFIED_K}
 """
 
 
+def q_broadcast_join(sf_dir: str):
+    """Dimension enrichment via BROADCAST join — the pattern for small-side
+    joins at 100 TB: the nation->region lookup (tiny by construction) is
+    assembled once on the driver, shipped once via ``ray.put``, and applied
+    per batch with vectorized ``pc.index_in`` + ``take`` — the fact table
+    never shuffles (the reference joins these dims in SQL; here the big side
+    stays streaming)."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_arrow_refs()
+    region = _read(sf_dir, "region").to_arrow_refs()
+    ntab = pa.concat_tables([t for t in ray.get(nation) if t.num_rows] or ray.get(nation))
+    rtab = pa.concat_tables([t for t in ray.get(region) if t.num_rows] or ray.get(region))
+    r_by_key = {k: v for k, v in zip(rtab["r_regionkey"].to_pylist(),
+                                     rtab["r_name"].to_pylist())}
+    lookup_ref = ray.put(
+        (
+            ntab["n_nationkey"].combine_chunks(),
+            ntab["n_name"].combine_chunks(),
+            pa.array([r_by_key[k] for k in ntab["n_regionkey"].to_pylist()],
+                     pa.string()),
+        )
+    )
+
+    def enrich(b: pa.Table) -> pa.Table:
+        nk, nname, rname = ray.get(lookup_ref)
+        idx = pc.index_in(b["c_nationkey"], value_set=nk)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "n_name": nname.take(idx),
+                "r_name": rname.take(idx),
+            }
+        )
+
+    return _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT c_custkey, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 ANTI_JOIN_PRIORITY = "1-URGENT"
 
 
@@ -1775,6 +1824,7 @@ QUERIES = {
     "percentiles": q_percentiles,
     "stratified_sample": q_stratified_sample,
     "anti_join": q_anti_join,
+    "broadcast_join": q_broadcast_join,
     "distinct_count": q_distinct_count,
     "sessionize": q_sessionize,
     "window_agg": q_window_agg,
@@ -1822,6 +1872,7 @@ ORACLES = {
     "percentiles": SQL_PERCENTILES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "anti_join": SQL_ANTI_JOIN,
+    "broadcast_join": SQL_BROADCAST_JOIN,
     "distinct_count": SQL_DISTINCT_COUNT,
     "sessionize": SQL_SESSIONIZE,
     "window_agg": SQL_WINDOW_AGG,
