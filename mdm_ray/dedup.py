@@ -45,29 +45,49 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     """Keep one survivor (min id) per identical text; returns survivors with
     group size. Hash groupby on the text key — scales as a shuffle of
     (key, id) only when ``project=True`` columns are pre-selected."""
+    from .dsutil import hash_partition_by
+
+    # grab types from the SOURCE schema (cheap for parquet; canonicalize
+    # doesn't change them) so the empty-block guard emits a typed table
+    src_schema = ds.schema()
+    types = dict(zip(src_schema.names, src_schema.types))
+    id_type, text_type = types[id_col], types[text_col]
+
     work = ds.select_columns([id_col, text_col])
     if canonicalize:
         def canon(b: pa.Table) -> pa.Table:
             t = pc.utf8_lower(pc.utf8_trim_whitespace(b[text_col]))
             return b.set_column(b.column_names.index(text_col), text_col, t)
         work = work.map_batches(canon, batch_format="pyarrow")
+    empty = pa.table(
+        {
+            id_col: pa.array([], id_type),
+            text_col: pa.array([], text_type),
+            "group_size": pa.array([], pa.int64()),
+        }
+    )
 
-    def keep_first(batch: pa.Table, starts: np.ndarray, stops: np.ndarray) -> pa.Table:
-        idx = pa.array(starts, pa.int64())  # sorted within group by sort key only;
-        out = batch.take(idx)
-        # survivor = min id within group (deterministic)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
-        min_ids = [ids[s:e].min() for s, e in zip(starts, stops)]
-        sizes = [int(e - s) for s, e in zip(starts, stops)]
+    def agg(batch: pa.Table) -> pa.Table:
+        # per-block Acero group_by (C++ hash agg) — the exchange already
+        # co-located equal texts, so a block-local groupby is exact
+        if batch.num_rows == 0 or text_col not in batch.column_names:
+            return empty
+        g = batch.select([id_col, text_col]).group_by(text_col).aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
         return pa.table(
             {
-                id_col: pa.array(min_ids),
-                text_col: out[text_col],
-                "group_size": pa.array(sizes, pa.int64()),
+                id_col: g[f"{id_col}_min"],
+                text_col: g[text_col],
+                "group_size": g[f"{id_col}_count"].cast(pa.int64()),
             }
         )
 
-    return grouped_kernel(work, text_col, keep_first)
+    # int-hash exchange on the text key (cheaper than a full value sort of
+    # the text strings) + vectorized per-block aggregation
+    return hash_partition_by(work, text_col).map_batches(
+        agg, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def _attach_bucket_keys(batch: pa.Table, *, id_col: str, keys_fn,

@@ -102,6 +102,27 @@ def zip_with_index(ds, col: str = "row_number", start: int = 1):
     )
 
 
+def collect_table(mat_ds, columns: list[str] | None = None) -> pa.Table:
+    """Pull a (small!) materialized Dataset to the driver as ONE Arrow table
+    — zero-copy block fetches, no per-row dict conversion (``take()`` costs
+    ~0.5 s per 100k rows converting to Python dicts). Callers must bound the
+    input (broadcast sides, candidate sets); big data never comes here."""
+    import ray
+
+    refs = [
+        ref
+        for bundle in mat_ds.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
+    blocks = ray.get(refs)
+    if columns is not None:
+        blocks = [b.select(columns) for b in blocks]
+    nonempty = [b for b in blocks if b.num_rows]
+    if not nonempty:
+        return blocks[0] if blocks else pa.table({})
+    return pa.concat_tables(nonempty)
+
+
 def _part_codes(col, n: int) -> np.ndarray:
     """Per-row partition ids ``hash(key) mod n`` for a string or integer
     column (nulls → partition 0; they never join anyway)."""
@@ -186,6 +207,16 @@ def copartition_join(left, right, on: str, right_on: str | None = None,
     def widen(key_name: str, side: int):
         def fn(b: pa.Table) -> pa.Table:
             m = b.num_rows
+            if m == 0 or key_name not in b.column_names:
+                # sort-partitioned upstream stages can emit schema-less empty
+                # blocks; return a typed empty of the tagged-union schema
+                return pa.table(
+                    {
+                        "_jk": pa.array([], key_type),
+                        **{f.name: pa.array([], f.type) for f in lpay + rpay},
+                        "_side": pa.array([], pa.int8()),
+                    }
+                )
             cols: dict = {"_jk": b[key_name].combine_chunks().cast(key_type)}
             for f in lpay + rpay:
                 cols[f.name] = (
