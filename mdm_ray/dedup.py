@@ -178,7 +178,8 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.7, num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 5,
                       max_bucket: int = 2000, est_slack: float = 0.3,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      broadcast_pairs: int = 100_000):
     """Near-dup pairs with true k-shingle Jaccard ≥ threshold, candidates via
     MinHash-LSH band buckets.
 
@@ -187,8 +188,12 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     otherwise amplify its full text ×bands through the exchange). Candidates
     are prefiltered by the signature Jaccard estimate (≥ threshold −
     est_slack, ~5σ below threshold at num_perm=64 so the exact result is
-    unaffected), and only the surviving pairs hash-join the text back for
-    exact verification."""
+    unaffected), and only the surviving pairs get the text back for exact
+    verification — via a broadcast semi-join (one streaming filter pass over
+    the corpus + a ``ray.put`` text lookup) when the candidate set is ≤
+    ``broadcast_pairs``, else two copartitioned hash joins (nothing is ever
+    dropped; the broadcast path is a fixed-overhead win, the join path is
+    the unbounded-candidate scale path)."""
     from .dsutil import join_partitions
 
     if num_partitions is None:
@@ -271,8 +276,13 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         keyed, id_col, ["_sig"], max_bucket, make_scorer, pair_dedup="caller"
     ).materialize()
 
-    # hash-join the text back for ONLY the surviving candidates
+    # bring the text back for ONLY the surviving candidates
     texts = ds.select_columns([id_col, text_col])
+    if cand.count() <= broadcast_pairs:
+        return _broadcast_verified_pairs(
+            cand, texts, id_col=id_col, text_col=text_col,
+            shingle_k=shingle_k, threshold=threshold,
+        )
 
     def rename(suffix):
         def fn(b: pa.Table) -> pa.Table:
@@ -303,6 +313,67 @@ def minhash_lsh_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         return out.filter(pa.array(sims >= threshold))
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def _broadcast_verified_pairs(cand, texts, *, id_col: str, text_col: str,
+                              shingle_k: int, threshold: float):
+    """Exact-Jaccard verification for a SMALL materialized candidate-pair
+    set: semi-join the corpus down to the needed ids in one streaming filter
+    pass (broadcast ``is_in`` value set — the corpus never shuffles), ship
+    the surviving (id, text) rows via ``ray.put``, and verify pairs with an
+    ``index_in``/``take`` lookup per candidate block. Total non-streaming
+    state is O(candidate ids × text size) — callers gate on a pair cap."""
+    import ray
+
+    from .dsutil import collect_table
+
+    cand_tbl = collect_table(cand)
+    need = pc.unique(
+        pa.concat_arrays(
+            [cand_tbl["id1"].combine_chunks(), cand_tbl["id2"].combine_chunks()]
+        )
+    )
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.column_names:
+            return pa.table({id_col: need.slice(0, 0),
+                             text_col: pa.array([], pa.string())})
+        return b.select([id_col, text_col]).filter(
+            pc.is_in(b[id_col], value_set=ray.get(need_ref))
+        )
+
+    lut = collect_table(
+        texts.map_batches(pick, batch_format="pyarrow").materialize()
+    )
+    lut_ref = ray.put(lut)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id1": need.slice(0, 0),
+                "id2": need.slice(0, 0),
+                "similarity": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
+            return empty
+        t = ray.get(lut_ref)
+        ia = pc.index_in(batch["id1"], value_set=t[id_col])
+        ib = pc.index_in(batch["id2"], value_set=t[id_col])
+        ta = t[text_col].take(ia).to_pylist()
+        tb = t[text_col].take(ib).to_pylist()
+        sims = ngram_jaccard_batch(ta, tb, shingle_k)
+        out = pa.table(
+            {
+                "id1": batch["id1"],
+                "id2": batch["id2"],
+                "similarity": pa.array(sims, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(sims >= threshold))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # byte-popcount lookup for vectorized Hamming distance on uint64

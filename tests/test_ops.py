@@ -256,6 +256,15 @@ def test_minhash_dedup_matches_bruteforce_and_salting(text_ds):
                                    max_bucket=2).take_all()
     }
     assert salted == expected
+    # the copartition-join fallback (candidate set over the broadcast cap)
+    # must produce the identical verified pair set
+    joined = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_dedup(text_ds, threshold=0.5, shingle_k=3,
+                                   num_perm=64, bands=32,
+                                   broadcast_pairs=0).take_all()
+    }
+    assert joined == expected
 
 
 def test_simhash_dedup_matches_bruteforce(text_ds):
