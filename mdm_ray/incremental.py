@@ -114,14 +114,12 @@ def _emit_side(batch: pa.Table, role: int, colmap: dict[str, str]) -> pa.Table:
 
     out: dict[str, list] = {name: [] for name, _ in _SIDE_COLUMNS}
     out["block_key"] = []
-    out["block_keys"] = []
     for i in range(n):
         keys = _candidate_keys(
             names[i], emails[i], phones[i], comps[i], cities[i], states[i]
         )
         for k in keys:
             out["block_key"].append(k)
-            out["block_keys"].append(keys)
             out["id"].append(ids[i])
             out["role"].append(role)
             out["full_name_clean"].append(names[i])
@@ -133,7 +131,6 @@ def _emit_side(batch: pa.Table, role: int, colmap: dict[str, str]) -> pa.Table:
             out["embedding"].append(embs[i])
     arrays = {name: pa.array(out[name], typ) for name, typ in _SIDE_COLUMNS}
     arrays["block_key"] = pa.array(out["block_key"], pa.string())
-    arrays["block_keys"] = pa.array(out["block_keys"], pa.list_(pa.string()))
     return pa.table(arrays)
 
 
@@ -153,29 +150,32 @@ RECORD_COLMAP = {c: c for c in [
 ]} | {"id": "doc_id"}
 
 
-def _first_common_key(keys_a: list[str], keys_b: list[str]) -> str | None:
-    i = j = 0
-    while i < len(keys_a) and j < len(keys_b):
-        if keys_a[i] == keys_b[j]:
-            return keys_a[i]
-        if keys_a[i] < keys_b[j]:
-            i += 1
-        else:
-            j += 1
-    return None
+_EMPTY_SCORED = pa.table({
+    "doc_id": pa.array([], pa.string()),
+    "cluster_id": pa.array([], pa.string()),
+    "exact_score": pa.array([], pa.float64()),
+    "fuzzy_score": pa.array([], pa.float64()),
+    "vector_score": pa.array([], pa.float64()),
+    "business_score": pa.array([], pa.float64()),
+    "combined_score": pa.array([], pa.float64()),
+})
 
 
 def _score_group_pairs(batch: pa.Table) -> pa.Table:
     """Sorted-by-block_key block → scored (doc_id, cluster_id) candidates.
 
     Bipartite within-group pairing (records × entities) + 4-strategy scoring
-    in one vectorized pass; pairs sharing several keys are scored only under
-    the lexicographically smallest shared key (same dedup as pairs.py).
-    """
+    in one vectorized pass. Pairs sharing several blocking keys are scored
+    once per shared key — duplicates score IDENTICALLY (scores depend only on
+    the two rows), and the only consumer is the per-doc value argmax
+    (`_argmax_per_doc`, tie-break by value), so duplicates cannot change the
+    result; skipping the per-pair min-shared-key check keeps this kernel
+    Python-free."""
+    if batch.num_rows == 0 or "block_key" not in batch.column_names:
+        return _EMPTY_SCORED
     keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
     starts, stops = group_boundaries(keys)
     roles = batch["role"].to_numpy(zero_copy_only=False)
-    key_lists = batch["block_keys"].to_pylist()
 
     ii_all, jj_all = [], []
     for s, e in zip(starts, stops):
@@ -184,64 +184,55 @@ def _score_group_pairs(batch: pa.Table) -> pa.Table:
         ents = np.nonzero(r == 0)[0] + s
         if len(recs) == 0 or len(ents) == 0:
             continue
-        ii = np.repeat(recs, len(ents))
-        jj = np.tile(ents, len(recs))
-        base = str(keys[s])
-        keep = np.fromiter(
-            (_first_common_key(key_lists[x], key_lists[y]) == base
-             for x, y in zip(ii, jj)),
-            dtype=bool, count=len(ii),
-        )
-        if keep.any():
-            ii_all.append(ii[keep])
-            jj_all.append(jj[keep])
+        ii_all.append(np.repeat(recs, len(ents)))
+        jj_all.append(np.tile(ents, len(recs)))
 
     if not ii_all:
-        return pa.table({
-            "doc_id": pa.array([], pa.string()),
-            "cluster_id": pa.array([], pa.string()),
-            "exact_score": pa.array([], pa.float64()),
-            "fuzzy_score": pa.array([], pa.float64()),
-            "vector_score": pa.array([], pa.float64()),
-            "business_score": pa.array([], pa.float64()),
-            "combined_score": pa.array([], pa.float64()),
-        })
+        return _EMPTY_SCORED
     ii = np.concatenate(ii_all)
     jj = np.concatenate(jj_all)
+    ii_arr = pa.array(ii, pa.int64())
+    jj_arr = pa.array(jj, pa.int64())
 
-    def col(name, idx):
-        return batch[name].take(pa.array(idx, pa.int64())).to_pylist()
+    def eq(name: str) -> np.ndarray:
+        # non-null, non-empty, equal — all in Arrow kernels
+        a = batch[name].take(ii_arr)
+        b = batch[name].take(jj_arr)
+        m = pc.and_kleene(pc.equal(a, b), pc.not_equal(a, ""))
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
 
-    r_email, g_email = col("email_clean", ii), col("email_clean", jj)
-    r_phone, g_phone = col("phone_clean", ii), col("phone_clean", jj)
-    r_name, g_name = col("full_name_clean", ii), col("full_name_clean", jj)
-    r_comp, g_comp = col("company", ii), col("company", jj)
-    r_city, g_city = col("city_clean", ii), col("city_clean", jj)
-    r_state, g_state = col("state_clean", ii), col("state_clean", jj)
-
-    eq = lambda a, b: np.array(  # noqa: E731
-        [x is not None and x != "" and x == y for x, y in zip(a, b)], dtype=bool
-    )
     # exact — streaming_processor.py:74-108 (score 1.0 on email/phone equality)
-    exact = np.maximum(eq(r_email, g_email), eq(r_phone, g_phone)).astype(np.float64)
-    # fuzzy — edit similarity on names, candidates kept > 0.6 (:148-151)
-    fz = edit_similarity_batch(r_name, g_name)
+    exact = np.maximum(eq("email_clean"), eq("phone_clean")).astype(np.float64)
+    # fuzzy — edit similarity on names, candidates kept > 0.6 (:148-151).
+    # prune_below is sound here: pruned entries carry an upper bound ≤ the
+    # cutoff and the next line zeroes everything ≤ the cutoff either way.
+    fz = edit_similarity_batch(
+        batch["full_name_clean"].take(ii_arr).to_pylist(),
+        batch["full_name_clean"].take(jj_arr).to_pylist(),
+        prune_below=FUZZY_CANDIDATE_THRESHOLD,
+    )
     fuzzy = np.where(fz > FUZZY_CANDIDATE_THRESHOLD, fz, 0.0)
-    # vector — cosine when both sides have embeddings (:196-236)
-    r_emb = col("embedding", ii)
-    g_emb = col("embedding", jj)
-    valid = np.array([x is not None and y is not None for x, y in zip(r_emb, g_emb)])
+    # vector — cosine when both sides have embeddings (:196-236); one
+    # [rows, d] float matrix per block, pair rows gathered by index
+    emb = batch["embedding"].combine_chunks()
+    row_valid = pc.is_valid(emb).to_numpy(zero_copy_only=False)
     vector = np.zeros(len(ii))
-    if valid.any():
-        vi = np.nonzero(valid)[0]
-        u = np.array([r_emb[i] for i in vi], dtype=np.float64)
-        v = np.array([g_emb[i] for i in vi], dtype=np.float64)
-        cos = cosine_batch(u, v)
+    pair_valid = row_valid[ii] & row_valid[jj]
+    if pair_valid.any():
+        rows = np.nonzero(row_valid)[0]
+        dense = emb.take(pa.array(rows, pa.int64()))
+        n_rows = len(dense)
+        flat = dense.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(n_rows, len(flat) // n_rows)
+        row_map = np.full(batch.num_rows, -1, dtype=np.int64)
+        row_map[rows] = np.arange(n_rows)
+        vi = np.nonzero(pair_valid)[0]
+        cos = cosine_batch(mat[row_map[ii[vi]]], mat[row_map[jj[vi]]])
         vector[vi] = np.where(cos > C.VECTOR_SIM_THRESHOLD, cos, 0.0)
     # business — company 0.3, city+state 0.2 (:238-278)
     business = (
-        np.where(eq(r_comp, g_comp), C.SAME_COMPANY_SCORE, 0.0)
-        + np.where(eq(r_city, g_city) & eq(r_state, g_state), C.SAME_LOCATION_SCORE, 0.0)
+        np.where(eq("company"), C.SAME_COMPANY_SCORE, 0.0)
+        + np.where(eq("city_clean") & eq("state_clean"), C.SAME_LOCATION_SCORE, 0.0)
     )
     w = STREAM_WEIGHTS
     combined = (
@@ -249,8 +240,8 @@ def _score_group_pairs(batch: pa.Table) -> pa.Table:
         + w["vector"] * vector + w["business"] * business
     )
     return pa.table({
-        "doc_id": pa.array(col("id", ii), pa.string()),
-        "cluster_id": pa.array(col("id", jj), pa.string()),
+        "doc_id": batch["id"].take(ii_arr),
+        "cluster_id": batch["id"].take(jj_arr),
         "exact_score": pa.array(exact, pa.float64()),
         "fuzzy_score": pa.array(fuzzy, pa.float64()),
         "vector_score": pa.array(vector, pa.float64()),
@@ -263,15 +254,19 @@ def _argmax_per_doc(batch: pa.Table) -> pa.Table:
     """Sorted-by-doc_id block → best entity per record + decision
     (streaming_processor.py:280-365: per-entity max then global argmax;
     tie-break = smallest cluster_id, deterministic)."""
+    if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+        return _EMPTY_SCORED.append_column(
+            "decision", pa.array([], pa.string())
+        )
     ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
     starts, stops = group_boundaries(ids)
     scores = batch["combined_score"].to_numpy(zero_copy_only=False)
     clusters = np.asarray(batch["cluster_id"].to_pylist(), dtype=object)
-    pick = []
-    for s, e in zip(starts, stops):
-        seg = np.arange(s, e)
-        best = seg[np.lexsort((clusters[seg], -scores[seg]))][0]
-        pick.append(best)
+    # one global lexsort: group id primary (keeps groups contiguous), then
+    # score desc, then cluster asc — each group's winner lands at its start
+    codes = np.repeat(np.arange(len(starts)), stops - starts)
+    order = np.lexsort((clusters, -scores, codes))
+    pick = order[starts]
     out = batch.take(pa.array(pick, pa.int64()))
     comb = out["combined_score"].to_numpy(zero_copy_only=False)
     decision = np.where(
@@ -449,27 +444,32 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
     # side by design — the reference processes 100 records per streaming run),
     # so collecting it to the driver and broadcasting via ray.put is the
     # scale-correct pattern (broadcast small side, never shuffle the big one).
-    cluster_by_doc: dict[str, str] = {}
-    for row in matched.select_columns(["doc_id", "cluster_id"]).iter_rows():
-        cluster_by_doc[row["doc_id"]] = row["cluster_id"]
-    assigned_ids = set(cluster_by_doc)
-    touched_clusters = sorted(set(cluster_by_doc.values()))
+    # Zero-copy block collect + vectorized index_in lookups — no per-row
+    # Python, so the mini-batch size is bounded by memory, not loop speed.
+    from .dsutil import collect_table
+
+    assign_tbl = collect_table(
+        matched.select_columns(["doc_id", "cluster_id"]).materialize()
+    )
+    assigned_arr = assign_tbl["doc_id"].combine_chunks()
+    assigned_clusters = assign_tbl["cluster_id"].combine_chunks()
+    touched_clusters = sorted(set(assigned_clusters.to_pylist()))
 
     import ray
 
-    cluster_ref = ray.put(cluster_by_doc)
+    cluster_ref = ray.put(assign_tbl)
 
     def members_with_cluster(b: pa.Table) -> pa.Table:
-        lookup = ray.get(cluster_ref)
-        cl = [lookup.get(d) for d in b["doc_id"].to_pylist()]
-        keep = pa.array([c is not None for c in cl])
+        t = ray.get(cluster_ref)
+        idx = pc.index_in(b["doc_id"], value_set=t["doc_id"].combine_chunks())
+        cl = t["cluster_id"].combine_chunks().take(idx)
         cols = {
             f: b[f] if f in b.column_names
             else pa.nulls(b.num_rows, _MEMBER_FIELD_TYPES.get(f, pa.string()))
             for f in MEMBER_FIELDS
         }
-        cols["cluster_id"] = pa.array(cl, pa.string())
-        return pa.table(cols).filter(keep)
+        cols["cluster_id"] = cl
+        return pa.table(cols).filter(pc.is_valid(cl))
 
     members = feats.map_batches(members_with_cluster, batch_format="pyarrow")
 
@@ -502,7 +502,6 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
     updated_golden = golden_untouched.union(merged)
 
     # --- new entities: cluster the unmatched set among themselves -----------
-    assigned_arr = pa.array(sorted(assigned_ids), pa.string())
     unmatched = feats.map_batches(
         lambda b: b.filter(
             pc.invert(pc.is_in(b["doc_id"], value_set=assigned_arr))
@@ -567,29 +566,33 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
     )
 
     # --- match_results (S9): one row per processed record -------------------
-    new_entity_by_doc: dict[str, str] = {}
-    for row in new_golden.select_columns(["cluster_id", "source_record_ids"]).iter_rows():
-        for d in row["source_record_ids"]:
-            new_entity_by_doc[d] = row["cluster_id"]
-    ne_ref = ray.put(new_entity_by_doc)
+    # (doc_id -> new cluster_id) as a flattened Arrow map: list_flatten the
+    # source_record_ids, repeat each cluster_id by list_parent_indices.
+    ng_tbl = collect_table(
+        new_golden.select_columns(["cluster_id", "source_record_ids"]).materialize()
+    )
+    ng_ids = ng_tbl["source_record_ids"].combine_chunks()
+    ng_map = pa.table(
+        {
+            "doc_id": pc.list_flatten(ng_ids),
+            "cluster_id": ng_tbl["cluster_id"].combine_chunks().take(
+                pc.list_parent_indices(ng_ids)
+            ),
+        }
+    )
+    ne_ref = ray.put(ng_map)
+    _MATCH_DECISIONS = pa.array(["auto_merge", "human_review"])
 
     def results_batch(b: pa.Table) -> pa.Table:
-        lookup = ray.get(ne_ref)
-        docs = b["doc_id"].to_pylist()
-        decisions = b["decision"].to_pylist()
-        clusters = b["cluster_id"].to_pylist()
-        ent, act = [], []
-        for d, dec, cl in zip(docs, decisions, clusters):
-            if dec in ("auto_merge", "human_review"):
-                ent.append(cl)
-                act.append(dec)
-            else:
-                ent.append(lookup.get(d))
-                act.append("new_entity")
+        t = ray.get(ne_ref)
+        is_match = pc.is_in(b["decision"], value_set=_MATCH_DECISIONS)
+        new_ent = t["cluster_id"].combine_chunks().take(
+            pc.index_in(b["doc_id"], value_set=t["doc_id"].combine_chunks())
+        )
         return pa.table({
             "doc_id": b["doc_id"],
-            "entity_id": pa.array(ent, pa.string()),
-            "action": pa.array(act, pa.string()),
+            "entity_id": pc.if_else(is_match, b["cluster_id"], new_ent),
+            "action": pc.if_else(is_match, b["decision"], pa.scalar("new_entity")),
             "exact_score": b["exact_score"],
             "fuzzy_score": b["fuzzy_score"],
             "vector_score": b["vector_score"],
@@ -598,23 +601,29 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
         })
 
     # records with no candidates at all never reach `best`; synthesize rows
-    seen = set()
-    for row in best.select_columns(["doc_id"]).iter_rows():
-        seen.add(row["doc_id"])
+    seen_arr = collect_table(
+        best.select_columns(["doc_id"]).materialize()
+    )["doc_id"].combine_chunks()
+    seen_ref = ray.put(seen_arr)
 
     def no_candidate_rows(b: pa.Table) -> pa.Table:
-        lookup = ray.get(ne_ref)
-        docs = [d for d in b["doc_id"].to_pylist() if d not in seen]
-        zero = [0.0] * len(docs)
+        t = ray.get(ne_ref)
+        docs = b["doc_id"].filter(
+            pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(seen_ref)))
+        ).combine_chunks()
+        ent = t["cluster_id"].combine_chunks().take(
+            pc.index_in(docs, value_set=t["doc_id"].combine_chunks())
+        )
+        zero = pa.array(np.zeros(len(docs)), pa.float64())
         return pa.table({
-            "doc_id": pa.array(docs, pa.string()),
-            "entity_id": pa.array([lookup.get(d) for d in docs], pa.string()),
+            "doc_id": docs,
+            "entity_id": ent,
             "action": pa.array(["new_entity"] * len(docs), pa.string()),
-            "exact_score": pa.array(zero, pa.float64()),
-            "fuzzy_score": pa.array(zero, pa.float64()),
-            "vector_score": pa.array(zero, pa.float64()),
-            "business_score": pa.array(zero, pa.float64()),
-            "combined_score": pa.array(zero, pa.float64()),
+            "exact_score": zero,
+            "fuzzy_score": zero,
+            "vector_score": zero,
+            "business_score": zero,
+            "combined_score": zero,
         })
 
     match_results = best.map_batches(results_batch, batch_format="pyarrow").union(

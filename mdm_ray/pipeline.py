@@ -149,18 +149,29 @@ def resolve_docs(docs_ds, labels_ds, num_partitions: int = 16):
             }
         )
 
-    def merge(b: pa.Table) -> pa.Table:
-        import numpy as np
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "spans": pa.array([], span_type),
+            "entity_id": pa.array([], pa.string()),
+        }
+    )
 
-        is_doc = b["is_doc"].to_numpy(zero_copy_only=False).astype(bool)
-        ids = b["doc_id"].to_pylist()
-        ents = b["entity_id"].to_pylist()
-        label_by_id = {i: e for i, e, d in zip(ids, ents, is_doc) if not d}
-        doc_idx = np.nonzero(is_doc)[0]
-        docs = b.take(pa.array(doc_idx, pa.int64()))
-        ent_col = pa.array(
-            [label_by_id.get(i) for i in docs["doc_id"].to_pylist()], pa.string()
+    def merge(b: pa.Table) -> pa.Table:
+        # vectorized side-split + index_in/take label lookup (the sort
+        # co-located each doc_id's doc row with its label row) — no per-row
+        # Python on this doc-carrying path
+        if b.num_rows == 0 or "is_doc" not in b.column_names:
+            return _empty
+        import pyarrow.compute as pc
+
+        is_doc = pc.equal(b["is_doc"], 1)
+        docs = b.filter(is_doc)
+        labels = b.filter(pc.invert(is_doc))
+        idx = pc.index_in(
+            docs["doc_id"], value_set=labels["doc_id"].combine_chunks()
         )
+        ent_col = labels["entity_id"].combine_chunks().take(idx)
         return pa.table(
             {"doc_id": docs["doc_id"], "spans": docs["spans"], "entity_id": ent_col}
         )
