@@ -49,6 +49,20 @@ def key_hash(k: str) -> int:
     return h - 1 if h == int(KEY_HASH_PAD) else h
 
 
+import re
+
+# the salt namespace: pairs.py treats any block key ending in '#<int>_<int>'
+# as a chunk-pair salted group, so strategy-provided keys must never land in
+# it — escape_salt_namespace() appends a suffix that breaks the int parse
+# (grouping semantics are unchanged: both sides of a match get the same
+# escaped key)
+_SALT_SUFFIX_RE = re.compile(r"#\d+_\d+$")
+
+
+def escape_salt_namespace(k: str) -> str:
+    return k + "#esc" if _SALT_SUFFIX_RE.search(k) else k
+
+
 # columns carried through the blocking shuffle into pair scoring
 SCORING_FIELDS = [
     "doc_id",
@@ -141,7 +155,10 @@ class BlockKeyEmitter:
         for i, row in enumerate(rows):
             base = self.keys_for_row(row)
             if extra is not None:
-                base = base + list(extra[i])
+                # strategy-supplied keys are untrusted strings: keep them out
+                # of the reserved '#i_j' salt namespace (pairs._emit_group
+                # would otherwise chunk-filter or TypeError on them)
+                base = base + [escape_salt_namespace(k) for k in extra[i]]
             keys = sorted(set(base))
             key_lists.append(keys)
             # ascending-hash order: the dedup total order pairs.py relies on

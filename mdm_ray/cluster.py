@@ -74,10 +74,16 @@ def _min_label_block(batch: pa.Table):
 
     n = batch.num_rows
     if n == 0:
+        # derive the typed-empty from the input schema when present —
+        # connected_components also runs over int64 nodes, and a hardcoded
+        # string-typed empty would conflict with those label blocks
+        names = batch.column_names
+        node_t = batch.schema.field("node").type if "node" in names else pa.string()
+        label_t = batch.schema.field("label").type if "label" in names else node_t
         return pa.table(
             {
-                "node": pa.array([], pa.string()),
-                "label": pa.array([], pa.string()),
+                "node": pa.array([], node_t),
+                "label": pa.array([], label_t),
                 "changed": pa.array([], pa.int64()),
             }
         )

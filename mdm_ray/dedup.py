@@ -94,9 +94,12 @@ def _attach_bucket_keys(batch: pa.Table, *, id_col: str, keys_fn,
                         payload: dict | None = None) -> pa.Table:
     """Per-row bucket-key lists + sorted key fingerprints (the ER blocker's
     per-doc layout, reused so hot_key_counts / explode / salt all apply)."""
-    from .blocking import key_hash
+    from .blocking import escape_salt_namespace, key_hash
 
-    key_lists = [sorted(set(ks)) for ks in keys_fn(batch)]
+    # keep caller-built bucket keys out of the reserved '#i_j' salt namespace
+    key_lists = [
+        sorted({escape_salt_namespace(k) for k in ks}) for ks in keys_fn(batch)
+    ]
     hash_lists = [sorted(key_hash(k) for k in ks) for ks in key_lists]
     cols = {id_col: batch[id_col]}
     if payload:

@@ -396,9 +396,13 @@ def window_agg_from_keyed(ds):
         )
 
     keyed = partials.map_batches(add_key, batch_format="pyarrow")
+    # merge() handles the empty case itself (typed-empty output schema), so
+    # call it unconditionally — passing an empty input block through would
+    # emit the pre-merge (_wk/_part/cents) schema into the output stream
     return hash_partition_by(keyed, "_wk", n=16).map_batches(
-        lambda b: merge(b.select([c for c in b.column_names if c not in ("_wk", "_part")])
-                        if b.num_rows else b),
+        lambda b: merge(
+            b.select([c for c in b.column_names if c not in ("_wk", "_part")])
+        ),
         batch_size=None, batch_format="pyarrow",
     )
 

@@ -137,18 +137,27 @@ def _emit_group_sides(
 
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+# bound the cache by total cached ELEMENTS, not entry count — entries are
+# O(n²) index arrays that live for the worker's lifetime, so a count cap
+# alone could pin GBs (4096 × ~32 MB at max_bucket=2000)
+_TRIU_CACHE_MAX_ELEMS = 8_000_000  # ≈128 MB (2 arrays × 8 B × elems)
+_triu_cache_elems = 0
 
 
 def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Cached upper-triangular index pairs — group sizes repeat heavily, so
     the per-group ``np.triu_indices`` call (the former per-group hot spot)
-    amortizes to a dict lookup."""
+    amortizes to a dict lookup. Small sizes repeat the most, so only they
+    are worth pinning: entries stop being added once the element budget is
+    spent (no eviction needed — the kernel still works, just uncached)."""
+    global _triu_cache_elems
     got = _TRIU_CACHE.get(n)
     if got is None:
         ii, jj = np.triu_indices(n, k=1)
         got = (ii.astype(np.int64), jj.astype(np.int64))
-        if len(_TRIU_CACHE) < 4096:
+        if _triu_cache_elems + len(ii) <= _TRIU_CACHE_MAX_ELEMS:
             _TRIU_CACHE[n] = got
+            _triu_cache_elems += len(ii)
     return got
 
 

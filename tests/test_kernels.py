@@ -185,3 +185,22 @@ def test_simhash_near_dup():
     # is identical — the recall property simhash_dedup relies on
     bands = h12 + 1
     assert set(simhash.band_keys(f1, bands)) & set(simhash.band_keys(f2, bands))
+
+
+def test_escape_salt_namespace():
+    from mdm_ray.blocking import escape_salt_namespace
+
+    # keys ending in the reserved '#<int>_<int>' salt suffix are escaped out
+    # of the namespace; everything else passes through unchanged
+    assert escape_salt_namespace("x_tag:A#1_2") == "x_tag:A#1_2#esc"
+    assert escape_salt_namespace("x_tag:A#12_345") == "x_tag:A#12_345#esc"
+    assert escape_salt_namespace("x_tag:A") == "x_tag:A"
+    assert escape_salt_namespace("x#a_b") == "x#a_b"
+    assert escape_salt_namespace("x#1_2_3") == "x#1_2_3"  # two underscores
+    # escaped keys are no longer parsed as salted by the pair emitter
+    from mdm_ray.pairs import _emit_group
+    import numpy as np
+
+    ii, jj, base = _emit_group(None, "x_tag:A#1_2#esc", 0, 3)
+    assert base == "x_tag:A#1_2#esc"
+    assert len(ii) == 3  # full triangular pairing, not chunk-filtered
