@@ -93,10 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names; floats rounded identically). Non-expressible ops (the ER-fixture
-    pipelines, which run on the synthesized interleaved corpus invisible to
-    the oracle's views, and the stub-codec media features) are omitted →
-    rows-only checks."""
+    names; floats rounded identically) — including the media codec queries,
+    whose integer-exact synthesis lets SQL re-derive the decoded features.
+    Non-expressible ops (the ER-fixture pipelines, which run on the
+    synthesized interleaved corpus invisible to the oracle's views) are
+    omitted → rows-only checks, backed by committed snapshot tests."""
     from mdm_ray.queries import ORACLES
 
     return dict(ORACLES)

@@ -1550,6 +1550,58 @@ SELECT doc_id, lang FROM (
 """
 
 
+# media oracles: re-derive the deterministic payloads' decoded features in
+# pure SQL — sha256(media_ref) seeds the pixel/sample generators exactly as
+# codecs.synth_rgb / synth_pcm do (integer arithmetic end to end), the grid
+# mirrors the 16x16→8x8 nearest-neighbor resize (source coords 2y, 2x), and
+# the aggregates are exact integer sums, so the hash check is full-precision
+SQL_MEDIA_FEATURES = """
+WITH refs AS (
+  SELECT 'm://' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+), base AS (
+  SELECT media_ref,
+         ('0x' || substr(sha256(media_ref), 1, 2))::INT AS b0,
+         ('0x' || substr(sha256(media_ref), 3, 2))::INT AS b1,
+         ('0x' || substr(sha256(media_ref), 5, 2))::INT AS b2
+  FROM refs
+), grid AS (
+  SELECT y.g * 2 AS sy, x.g * 2 AS sx
+  FROM generate_series(0, 7) AS y(g), generate_series(0, 7) AS x(g)
+), px AS (
+  SELECT media_ref,
+         (b0 + (sx * 1 + sy * 3) * 7) % 256 AS r,
+         (b1 + (sx * 2 + sy * 2) * 7) % 256 AS g,
+         (b2 + (sx * 3 + sy * 1) * 7) % 256 AS b
+  FROM base CROSS JOIN grid
+)
+SELECT media_ref,
+       8::INT AS width, 8::INT AS height,
+       AVG(r) AS mean_r, AVG(g) AS mean_g, AVG(b) AS mean_b
+FROM px GROUP BY media_ref
+"""
+
+
+SQL_MEDIA_AUDIO = """
+WITH refs AS (
+  SELECT 'm://' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+), p AS (
+  SELECT media_ref,
+         16 + (('0x' || substr(sha256(media_ref), 1, 2))::INT % 240) AS step,
+         1 + (('0x' || substr(sha256(media_ref), 3, 2))::INT % 15) AS m
+  FROM refs
+), s AS (
+  SELECT media_ref, m * (((i.g * step) % 4096) - 2048) AS v
+  FROM p CROSS JOIN generate_series(0, 799) AS i(g)
+)
+SELECT media_ref,
+       100.0::DOUBLE AS duration_ms,
+       round(sqrt(AVG((v::BIGINT * v)::DOUBLE)), 6) AS rms,
+       8000::INT AS sample_rate,
+       800::BIGINT AS n_samples
+FROM s GROUP BY media_ref
+"""
+
+
 # ---------------------------------------------------------------------------
 # End-to-end ER over a real parquet table — full SQL oracle incl. O1 ordering
 # ---------------------------------------------------------------------------
@@ -1764,29 +1816,108 @@ def q_er_incremental(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    from . import synth
-    from .media import decode_pipeline, media_table_from_refs
-    import ray.data
+    """Image decode + feature pipeline with a REAL strict-mode codec: each
+    doc_id gets a deterministic 16x16 BMP payload (``codecs.synth_rgb`` —
+    integer-exact, so the DuckDB oracle reproduces every pixel), the
+    actor-pool ImageDecoder really parses the BMP and resizes to 8x8, and the
+    features are per-channel means (exact: integer sums / 64)."""
+    from .codecs import encode_bmp, synth_rgb
+    from .media import decode_pipeline
 
-    docs = synth.generate_documents_local(min(_er_scale(sf_dir), 400))
-    refs = sorted(
-        {
-            s["media_ref"]
-            for spans in docs["spans"].to_pylist()
-            for s in spans
-            if s["media_ref"]
-        }
+    def to_media(b: pa.Table) -> pa.Table:
+        refs = ["m://" + str(d) for d in b["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "payload": pa.array(
+                    [encode_bmp(synth_rgb(r, 16, 16)) for r in refs], pa.binary()
+                ),
+            }
+        )
+
+    media = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow"
     )
-    media = ray.data.from_arrow(media_table_from_refs(refs))
-    out = decode_pipeline(media, mode="fake")
-    return out.map_batches(
-        lambda b: pa.table(
+    decoded = decode_pipeline(media, mode="strict", out_hw=(8, 8))
+
+    def feats(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0 or "pixels" not in b.column_names:
+            return pa.table(
+                {
+                    "media_ref": pa.array([], pa.string()),
+                    "width": pa.array([], pa.int32()),
+                    "height": pa.array([], pa.int32()),
+                    "mean_r": pa.array([], pa.float64()),
+                    "mean_g": pa.array([], pa.float64()),
+                    "mean_b": pa.array([], pa.float64()),
+                }
+            )
+        flat = b["pixels"].combine_chunks()
+        arr = (
+            flat.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, 8 * 8, 3)
+        )
+        means = arr.mean(axis=1)  # exact: integer sums < 2^53, then /64
+        return pa.table(
             {
                 "media_ref": b["media_ref"],
-                "feature_dim": pc.list_value_length(b["media_embedding"]),
+                "width": pa.array(np.full(n, 8, np.int32), pa.int32()),
+                "height": pa.array(np.full(n, 8, np.int32), pa.int32()),
+                "mean_r": pa.array(means[:, 0], pa.float64()),
+                "mean_g": pa.array(means[:, 1], pa.float64()),
+                "mean_b": pa.array(means[:, 2], pa.float64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    return decoded.map_batches(feats, batch_format="pyarrow")
+
+
+def q_media_audio(sf_dir: str):
+    """WAV decode pipeline with the REAL strict-mode PCM16 codec: each doc_id
+    gets a deterministic integer-sawtooth WAV (``codecs.synth_pcm``), the
+    AudioDecoder parses RIFF chunks and computes duration/RMS — all
+    integer-exact up to one correctly-rounded division + sqrt, so the DuckDB
+    oracle matches to full float precision (rounded to 6dp on both sides)."""
+    from .codecs import encode_wav, synth_pcm
+    from .media import audio_pipeline
+
+    def to_media(b: pa.Table) -> pa.Table:
+        refs = ["m://" + str(d) for d in b["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "payload": pa.array(
+                    [encode_wav(synth_pcm(r, 800, 8000), 8000) for r in refs],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    media = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+
+    def rounded(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "rms" not in b.column_names:
+            return pa.table(
+                {
+                    "media_ref": pa.array([], pa.string()),
+                    "duration_ms": pa.array([], pa.float64()),
+                    "rms": pa.array([], pa.float64()),
+                    "sample_rate": pa.array([], pa.int32()),
+                    "n_samples": pa.array([], pa.int64()),
+                }
+            )
+        return b.set_column(
+            b.column_names.index("rms"),
+            "rms",
+            pa.array(_round(b["rms"].to_numpy(zero_copy_only=False)), pa.float64()),
+        )
+
+    return audio_pipeline(media, mode="strict").map_batches(
+        rounded, batch_format="pyarrow"
     )
 
 
@@ -1839,6 +1970,7 @@ QUERIES = {
     "er_resolved": q_er_resolved,
     "er_incremental": q_er_incremental,
     "media_features": q_media_features,
+    "media_audio": q_media_audio,
 }
 
 ORACLES = {
@@ -1882,6 +2014,8 @@ ORACLES = {
     "sessionize_chunked": SQL_SESSIONIZE,
     "asof_join_chunked": SQL_ASOF_JOIN,
     "range_join_chunked": SQL_RANGE_JOIN,
-    # er_* (synthesized fixture corpus) / media_features (stubbed codecs):
-    # rows-only checks
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_audio": SQL_MEDIA_AUDIO,
+    # er_* (synthesized fixture corpus): rows-only checks, but the same path
+    # is hash-checked via er_e2e and snapshot-tested in tests/test_pipeline.py
 }

@@ -204,3 +204,62 @@ def test_escape_salt_namespace():
     ii, jj, base = _emit_group(None, "x_tag:A#1_2#esc", 0, 3)
     assert base == "x_tag:A#1_2#esc"
     assert len(ii) == 3  # full triangular pairing, not chunk-filtered
+
+
+# ---- pure-NumPy media codecs (BMP / PPM / WAV) --------------------------------
+
+def test_bmp_roundtrip_odd_width():
+    from mdm_ray import codecs
+
+    # odd widths exercise the 4-byte row padding
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 2)]:
+        rgb = codecs.synth_rgb(f"seed{h}x{w}", h, w)
+        assert codecs.sniff_format(codecs.encode_bmp(rgb)) == "bmp"
+        out = codecs.decode_bmp(codecs.encode_bmp(rgb))
+        assert (out == rgb).all() and out.shape == (h, w, 3)
+
+
+def test_ppm_roundtrip():
+    from mdm_ray import codecs
+
+    rgb = codecs.synth_rgb("ppm-seed", 9, 4)
+    data = codecs.encode_ppm(rgb)
+    assert codecs.sniff_format(data) == "ppm"
+    assert (codecs.decode_ppm(data) == rgb).all()
+
+
+def test_ppm_header_comment():
+    from mdm_ray import codecs
+    import numpy as np
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = b"P6\n# a comment\n3 2\n255\n" + rgb.tobytes()
+    assert (codecs.decode_ppm(data) == rgb).all()
+
+
+def test_wav_roundtrip_and_features():
+    from mdm_ray import codecs
+    import numpy as np
+
+    pcm = codecs.synth_pcm("wav-seed", n=800, sample_rate=8000)
+    data = codecs.encode_wav(pcm, 8000)
+    assert codecs.sniff_format(data) == "wav"
+    samples, rate = codecs.decode_wav(data)
+    assert rate == 8000 and samples.shape == (800, 1)
+    assert (samples[:, 0] == pcm).all()
+    # stereo roundtrip
+    st = np.stack([pcm, -pcm], axis=1).astype(np.int16)
+    s2, _ = codecs.decode_wav(codecs.encode_wav(st, 44100))
+    assert (s2 == st).all()
+
+
+def test_decode_rejects_unsupported():
+    from mdm_ray import codecs
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\n.....")
+    with _pytest.raises(ValueError):
+        codecs.decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+    with _pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks

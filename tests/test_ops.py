@@ -698,3 +698,40 @@ def test_interval_join_chunked_equivalent(ray_session):
     a = canon(interval_join(ds, sess))
     b = canon(interval_join(ds, sess, chunk_hours=1))
     assert a == b and len(a) == n
+
+
+def test_media_strict_decodes_bmp_pipeline(ray_session):
+    import numpy as np
+    import ray.data
+
+    from mdm_ray import codecs
+
+    refs = [f"m://{i}" for i in range(12)]
+    ds = ray.data.from_arrow(media.media_table_from_refs(refs, kind="bmp"))
+    out = media.decode_pipeline(ds, mode="strict", out_hw=(8, 8)).take_all()
+    assert len(out) == 12
+    by_ref = {r["media_ref"]: r for r in out}
+    for ref in refs:
+        expect = codecs.synth_rgb(ref, 16, 16)[::2, ::2]  # nearest 16->8
+        got = np.array(by_ref[ref]["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+        assert (got == expect).all()
+        assert len(by_ref[ref]["media_embedding"]) == 3 + 8
+
+
+def test_media_strict_decodes_wav_pipeline(ray_session):
+    import numpy as np
+    import ray.data
+
+    from mdm_ray import codecs
+
+    refs = [f"m://{i}" for i in range(6)]
+    ds = ray.data.from_arrow(
+        media.media_table_from_refs(refs, kind="wav", wav_samples=400)
+    )
+    out = media.audio_pipeline(ds, mode="strict").take_all()
+    assert len(out) == 6
+    for r in out:
+        pcm = codecs.synth_pcm(r["media_ref"], 400, 8000).astype(np.float64)
+        assert r["n_samples"] == 400 and r["sample_rate"] == 8000
+        assert r["duration_ms"] == 400 * 1000.0 / 8000
+        assert abs(r["rms"] - float(np.sqrt(np.mean(pcm**2)))) < 1e-9
