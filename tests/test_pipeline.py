@@ -286,3 +286,21 @@ def test_retain_prefilter_output_identical():
         assert fast.num_rows == slow.num_rows
         for col in fast.column_names:
             assert fast[col].to_pylist() == slow[col].to_pylist(), (profile, col)
+
+
+def test_er_fixture_snapshots(ray_session):
+    """Snapshot oracle for the ER-fixture trio: the synthesized corpus and
+    every pipeline stage are deterministic by construction, so each query's
+    output must exactly equal the committed parquet snapshot (regenerate with
+    tools/make_er_snapshots.py after an intentional semantic change)."""
+    import os
+
+    import pandas as pd
+
+    from mdm_ray.queries import QUERIES
+    from tools.make_er_snapshots import SF_DIR, SNAP_DIR, SNAP_QUERIES, canonical
+
+    for name in SNAP_QUERIES:
+        expect = pd.read_parquet(os.path.join(SNAP_DIR, f"{name}_sf0001.parquet"))
+        got = canonical(QUERIES[name](SF_DIR).to_pandas())
+        pd.testing.assert_frame_equal(got, expect, check_exact=True), name
