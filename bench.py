@@ -7,10 +7,13 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print
 "num_cpus": N}``.
 
 ``--scaling``: run the ER pipeline in FRESH subprocesses at num_cpus=N and
-4N (default 4 and 16) over the same input, as ``--rounds`` interleaved
-N/4N pairs, and report the MEDIAN per-round scaling efficiency
-(= (pps_4N / pps_N) / 4) — the in-sandbox evidence for the two-cluster-size
-criterion (BASELINE.md).
+4N (default 4 and 16) over the same input as interleaved N/4N rounds, each
+round gated by a null-control job (a perfectly-parallel task fleet run FIRST
+in the same process: if the host itself can't scale in that window, the
+round can't evidence anything about the engine). Rounds accumulate until
+``--min-qualified`` qualify (control efficiency >= ``--null-gate``), and the
+headline number is the RAW ratio-of-median-arm-walls over qualified rounds —
+the in-sandbox evidence for the two-cluster-size criterion (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -71,6 +74,12 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     # scaling efficiency)
     warm = synth.generate_documents_ray(200, parallelism=num_cpus).materialize()
     pipeline.run_er(warm, cfg)["golden"].materialize()
+    out_extra = {}
+    if os.environ.get("GRAFT_NULL_CONTROL"):
+        # sample the host's parallel capacity FIRST, in the same process and
+        # time window as the measurement it gates/calibrates (the --scaling
+        # harness disqualifies rounds whose control shows a contended host)
+        out_extra["null_tasks_per_sec"] = null_control_tput(num_cpus)
     t0 = time.time()
     # materialize the tiny generated fixture so the featurize chain fans out
     # over real-sized blocks instead of bundling the ~KB range inputs
@@ -122,11 +131,6 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
             .map_batches(count_pairs, batch_size=None, batch_format="pyarrow")
             .sum("n")
         )
-    out_extra = {}
-    if os.environ.get("GRAFT_NULL_CONTROL"):
-        # sample the host's parallel capacity in the SAME process/time window
-        # as the measurement it calibrates
-        out_extra["null_tasks_per_sec"] = null_control_tput(num_cpus)
     return {
         **out_extra,
         "docs": n_docs,
@@ -247,8 +251,21 @@ def main() -> int:
                          "best kept (cold-start/host-noise guard). The "
                          "cross-round statistic stays the MEDIAN")
     ap.add_argument("--rounds", type=int, default=3,
-                    help="--scaling: number of interleaved lo/hi rounds; the "
-                         "reported efficiency is the MEDIAN round")
+                    help="--scaling: MINIMUM number of interleaved lo/hi "
+                         "rounds (all are published)")
+    ap.add_argument("--min-qualified", type=int,
+                    default=int(os.environ.get("GRAFT_MIN_QUALIFIED", "5")),
+                    help="--scaling: keep adding rounds until this many "
+                         "QUALIFY (round's null-control efficiency >= "
+                         "--null-gate), up to --max-rounds. The headline "
+                         "number is the qualified-rounds raw efficiency")
+    ap.add_argument("--max-rounds", type=int,
+                    default=int(os.environ.get("GRAFT_MAX_ROUNDS", "10")),
+                    help="--scaling: hard cap on total rounds (wall-clock)")
+    ap.add_argument("--null-gate", type=float, default=0.9,
+                    help="--scaling: a round qualifies iff its null-control "
+                         "(perfectly-parallel job) efficiency is >= this — "
+                         "i.e. the host itself could scale in that window")
     ap.add_argument("--scale-cpus", default="4,16",
                     help="N,4N pair for --scaling. Default 4,16: this host's 32 "
                          "vCPUs are oversubscribed (pure-spin test shows 1.67x "
@@ -290,17 +307,32 @@ def main() -> int:
                 known_candidates.append(int(er["candidate_pairs"]))
             return er
 
+        # Null-control gating: the host's own parallel capacity drifts (it is
+        # an oversubscribed shared VM) and in bad windows a perfectly-parallel
+        # job measures 4x-width efficiency well below 1.0 — in those windows
+        # NO engine can evidence its scaling. Each round runs the control
+        # first in both arm processes; the round QUALIFIES iff the control's
+        # own efficiency >= --null-gate. Rounds are added until
+        # --min-qualified qualify (capped at --max-rounds); every round is
+        # published, and the headline is the qualified-rounds raw efficiency.
         rounds = []
-        for _ in range(args.rounds):
+        qualified = 0
+        while len(rounds) < args.max_rounds and (
+            qualified < args.min_qualified or len(rounds) < args.rounds
+        ):
             r_lo = run_one(lo)
             r_hi = run_one(hi)
+            eff_null = round(
+                (r_hi["null_tasks_per_sec"] / r_lo["null_tasks_per_sec"]) / 4, 3)
+            ok = eff_null >= args.null_gate
+            qualified += ok
             rounds.append({
+                "qualified": ok,
                 "eff_e2e": round(
                     (r_hi["pairs_per_sec_e2e"] / r_lo["pairs_per_sec_e2e"]) / 4, 3),
                 "eff_scoring": round(
                     (r_hi["pairs_scored_per_sec"] / r_lo["pairs_scored_per_sec"]) / 4, 3),
-                "eff_null_control": round(
-                    (r_hi["null_tasks_per_sec"] / r_lo["null_tasks_per_sec"]) / 4, 3),
+                "eff_null_control": eff_null,
                 f"pairs_scored_per_sec_{lo}cpus": r_lo["pairs_scored_per_sec"],
                 f"pairs_scored_per_sec_{hi}cpus": r_hi["pairs_scored_per_sec"],
                 f"null_tasks_per_sec_{lo}cpus": r_lo["null_tasks_per_sec"],
@@ -316,45 +348,64 @@ def main() -> int:
             m = len(s) // 2
             return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-        # Two estimators, both published:
-        # * ratio-of-medians — median throughput per ARM across rounds, then
-        #   one ratio. The two arms run in separate processes minutes apart,
-        #   so their host-noise draws are independent; pairing them per round
-        #   injects that independent noise straight into each ratio, while
-        #   the per-arm median converges on the arm's typical throughput.
-        #   This is the headline number.
-        # * median-of-round-ratios — kept for continuity/transparency.
-        med_lo_s = median(r[f"er_seconds_{lo}cpus"] for r in rounds)
-        med_hi_s = median(r[f"er_seconds_{hi}cpus"] for r in rounds)
-        med_lo_pps = median(r[f"pairs_scored_per_sec_{lo}cpus"] for r in rounds)
-        med_hi_pps = median(r[f"pairs_scored_per_sec_{hi}cpus"] for r in rounds)
-        med_lo_null = median(r[f"null_tasks_per_sec_{lo}cpus"] for r in rounds)
-        med_hi_null = median(r[f"null_tasks_per_sec_{hi}cpus"] for r in rounds)
-        eff_raw = round((med_lo_s / med_hi_s) / 4, 3)
+        # Estimators, all published:
+        # * qualified ratio-of-medians (HEADLINE) — per-arm median throughput
+        #   over qualified rounds only, then one ratio. Qualification removes
+        #   windows where the host itself could not scale; ratio-of-medians
+        #   avoids injecting the arms' independent noise draws into every
+        #   per-round ratio.
+        # * all-rounds ratio-of-medians and median-of-round-ratios — for
+        #   transparency/continuity with earlier rounds.
+        def arm_stats(rs):
+            return {
+                "lo_s": median(r[f"er_seconds_{lo}cpus"] for r in rs),
+                "hi_s": median(r[f"er_seconds_{hi}cpus"] for r in rs),
+                "lo_pps": median(r[f"pairs_scored_per_sec_{lo}cpus"] for r in rs),
+                "hi_pps": median(r[f"pairs_scored_per_sec_{hi}cpus"] for r in rs),
+                "lo_null": median(r[f"null_tasks_per_sec_{lo}cpus"] for r in rs),
+                "hi_null": median(r[f"null_tasks_per_sec_{hi}cpus"] for r in rs),
+            }
+
+        q_rounds = [r for r in rounds if r["qualified"]] or rounds
+        q = arm_stats(q_rounds)
+        a = arm_stats(rounds)
+        eff_raw_q = round((q["lo_s"] / q["hi_s"]) / 4, 3)
+        eff_raw_all = round((a["lo_s"] / a["hi_s"]) / 4, 3)
         # host ceiling: what a BY-CONSTRUCTION perfectly-parallel job measures
         # on this host at the same widths in the same time windows
-        eff_null = round((med_hi_null / med_lo_null) / 4, 3)
+        eff_null_all = round((a["hi_null"] / a["lo_null"]) / 4, 3)
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
-            "value": eff_raw,
-            "null_control_efficiency": eff_null,
-            "host_normalized_efficiency": round(min(eff_raw / eff_null, 1.0), 3),
+            "value": eff_raw_q,
+            "qualified_rounds": qualified,
+            "total_rounds": len(rounds),
+            "null_gate": args.null_gate,
+            "all_rounds_efficiency": eff_raw_all,
+            "null_control_efficiency": eff_null_all,
+            "host_normalized_efficiency": round(
+                min(eff_raw_all / eff_null_all, 1.0), 3),
             "unit": "ratio",
             "methodology": (
-                f"ratio of median-arm throughputs over {args.rounds} "
-                f"interleaved {lo}/{hi}-cpu rounds (arms have independent "
-                "host-noise draws; per-round pairing amplifies it — see "
-                "BASELINE.md); median-of-round-ratios also reported"
+                f"RAW ratio of median-arm wall times over the "
+                f"{qualified} null-control-qualified rounds (control "
+                f"efficiency >= {args.null_gate}) of {len(rounds)} "
+                f"interleaved {lo}/{hi}-cpu rounds; all rounds published"
+                + ("" if qualified else
+                   " — NO round qualified, value falls back to all rounds")
             ),
-            "scoring_stage_efficiency": round((med_hi_pps / med_lo_pps) / 4, 3),
+            "scoring_stage_efficiency_qualified": round(
+                (q["hi_pps"] / q["lo_pps"]) / 4, 3),
+            "scoring_stage_efficiency": round((a["hi_pps"] / a["lo_pps"]) / 4, 3),
             "median_round_eff_e2e": round(median(r["eff_e2e"] for r in rounds), 3),
             "median_round_eff_scoring": round(
                 median(r["eff_scoring"] for r in rounds), 3),
-            "median_seconds": {f"{lo}cpus": med_lo_s, f"{hi}cpus": med_hi_s},
+            "median_seconds_qualified": {
+                f"{lo}cpus": q["lo_s"], f"{hi}cpus": q["hi_s"]},
+            "median_seconds": {f"{lo}cpus": a["lo_s"], f"{hi}cpus": a["hi_s"]},
             "median_pairs_scored_per_sec": {
-                f"{lo}cpus": med_lo_pps, f"{hi}cpus": med_hi_pps},
+                f"{lo}cpus": a["lo_pps"], f"{hi}cpus": a["hi_pps"]},
             "median_null_tasks_per_sec": {
-                f"{lo}cpus": med_lo_null, f"{hi}cpus": med_hi_null},
+                f"{lo}cpus": a["lo_null"], f"{hi}cpus": a["hi_null"]},
             "rounds": rounds,
             "sf": args.sf_dir,
             "customers": args.scale_customers,
