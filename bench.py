@@ -190,6 +190,9 @@ def run_incremental_bench(num_cpus: int, base_customers: int = 5000,
     }
 
 
+LARGE_CUSTOMERS = int(os.environ.get("GRAFT_LARGE_CUSTOMERS", "60000"))
+
+
 def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) -> dict:
     from mdm_ray import queries as Q
 
@@ -203,6 +206,11 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
 
     er = run_er_bench(num_cpus, customers)
     timings["er_pipeline"] = er["seconds"]["total"]
+    # scale-headroom config tracked per round (regress-tests the claim that
+    # per-pair throughput holds as the fixture grows 3x; the 10x 485k-doc
+    # run is available via --large)
+    er_large = run_er_bench(num_cpus, LARGE_CUSTOMERS)
+    timings["er_pipeline_large"] = er_large["seconds"]["total"]
 
     # warm each query family once at the smallest sf (sub-second each):
     # worker-side UDF imports / regex compiles / Acero warmup happen before
@@ -226,7 +234,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
     timed("range_join", lambda: Q.q_range_join(sf_dir).count())
     timed("percentiles", lambda: Q.q_percentiles(sf_dir).count())
     timed("distinct_count", lambda: Q.q_distinct_count(sf_dir).count())
-    return {"er": er, "queries": timings}
+    timed("media_features", lambda: Q.q_media_features(sf_dir).count())
+    return {"er": er, "er_large": er_large, "queries": timings}
 
 
 def main() -> int:
@@ -237,6 +246,8 @@ def main() -> int:
     ap.add_argument("--er-only", action="store_true")
     ap.add_argument("--incremental", action="store_true",
                     help="streaming-twin mini-batch merge throughput")
+    ap.add_argument("--large", action="store_true",
+                    help="10x scale-headroom config only (~485k docs)")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--repeat", type=int, default=1,
                     help="repetitions per measurement; best kept (variance guard)")
@@ -440,10 +451,15 @@ def main() -> int:
             if again["pairs_per_sec_e2e"] > er["pairs_per_sec_e2e"]:
                 er = again
         payload = {"er": er, "queries": {"er_pipeline": er["seconds"]["total"]}}
+    elif args.large:
+        er = run_er_bench(args.num_cpus, int(os.environ.get(
+            "GRAFT_XLARGE_CUSTOMERS", "200000")))
+        payload = {"er": er,
+                   "queries": {"er_pipeline_10x": er["seconds"]["total"]}}
     else:
         payload = run_full_bench(args.sf_dir, args.num_cpus, args.customers)
     total = round(time.time() - t0, 2)
-    print(json.dumps({
+    out = {
         "metric": "bench_total_seconds",
         "value": total,
         "unit": "sec",
@@ -451,7 +467,10 @@ def main() -> int:
         "sf": args.sf_dir,
         "num_cpus": args.num_cpus,
         "er": payload["er"],
-    }))
+    }
+    if "er_large" in payload:
+        out["er_large"] = payload["er_large"]
+    print(json.dumps(out))
     ray.shutdown()
     return 0
 
