@@ -63,11 +63,16 @@ def run_er(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = 
 
 def run_er_checkpointed(docs_ds, ckpt_root: str | None,
                         cfg: EngineConfig = DEFAULT_CONFIG,
-                        with_embeddings: bool = True) -> dict:
+                        with_embeddings: bool = True,
+                        stop_after: str | None = None) -> dict:
     """Resume-aware pipeline: each stage lands as a checkpoint table with a
     lineage sidecar; a rerun skips stages whose checkpoint is complete and
     config-compatible (the reference's CREATE OR REPLACE TABLE chain,
-    re-expressed — SURVEY.md §3.1)."""
+    re-expressed — SURVEY.md §3.1).
+
+    ``stop_after``: return right after the named stage's checkpoint lands
+    (kill/resume drills — ``tools/kill_resume_check.py`` SIGKILLs the process
+    there and verifies a fresh process resumes to byte-identical golden)."""
     from . import storage
 
     ch = storage.config_hash(
@@ -81,6 +86,8 @@ def run_er_checkpointed(docs_ds, ckpt_root: str | None,
         ckpt_root, "features", ch,
         lambda: build_features(docs_ds, cfg, with_embeddings).materialize(),
     )
+    if stop_after == "features":
+        return {"features": feats, "resumed": resumed}
     from .blocking import hot_key_counts
     from .pairs import build_scored
 
@@ -98,6 +105,8 @@ def run_er_checkpointed(docs_ds, ckpt_root: str | None,
         input_stage="features",
         metrics_fn=lambda ds: {"pairs_retained": ds.count()},
     )
+    if stop_after == "scored":
+        return {"features": feats, "scored": scored, "resumed": resumed}
     labels, resumed["labels"] = storage.stage_or_compute(
         ckpt_root, "labels", ch,
         lambda: connected_components(build_edges(scored), init_labels(feats), cfg),
