@@ -62,7 +62,7 @@ from .dsutil import group_boundaries
 from .features import featurize
 from .blocking import prep_scoring_columns
 from .phonetic import metaphone, soundex
-from .simfuncs import cosine_batch, edit_similarity_batch
+from .simfuncs import EditSimIndex, cosine_batch, edit_similarity_batch
 
 # streaming weights — streaming_processor.py:25-31
 STREAM_WEIGHTS = dict(C.WEIGHTS_4WAY)
@@ -204,13 +204,13 @@ def _score_group_pairs(batch: pa.Table) -> pa.Table:
     # exact — streaming_processor.py:74-108 (score 1.0 on email/phone equality)
     exact = np.maximum(eq("email_clean"), eq("phone_clean")).astype(np.float64)
     # fuzzy — edit similarity on names, candidates kept > 0.6 (:148-151).
-    # prune_below is sound here: pruned entries carry an upper bound ≤ the
-    # cutoff and the next line zeroes everything ≤ the cutoff either way.
-    fz = edit_similarity_batch(
-        batch["full_name_clean"].take(ii_arr).to_pylist(),
-        batch["full_name_clean"].take(jj_arr).to_pylist(),
-        prune_below=FUZZY_CANDIDATE_THRESHOLD,
-    )
+    # Row-indexed kernel: each row is encoded + histogrammed ONCE (rows <<
+    # pairs in dense blocks), the bag bound prunes by index gather, and the
+    # DP runs on survivors only. Pruning is sound here: pruned entries carry
+    # an upper bound ≤ the cutoff and the next line zeroes everything ≤ the
+    # cutoff either way.
+    esi = EditSimIndex(batch["full_name_clean"].to_pylist())
+    fz = esi.similarity(ii, jj, prune_below=FUZZY_CANDIDATE_THRESHOLD)
     fuzzy = np.where(fz > FUZZY_CANDIDATE_THRESHOLD, fz, 0.0)
     # vector — cosine when both sides have embeddings (:196-236); one
     # [rows, d] float matrix per block, pair rows gathered by index

@@ -124,6 +124,66 @@ def _bag_distance_bound(sa: list[str], sb: list[str]) -> np.ndarray:
     return np.maximum(pos, neg).astype(np.float64)
 
 
+class EditSimIndex:
+    """Row-indexed edit similarity for dense within-block pair sets.
+
+    ``edit_similarity_batch`` pays its encode + histogram cost PER PAIR; in a
+    blocking group every row participates in many pairs, so that cost is paid
+    |pairs|/|rows| times over (measured 76 s of a 97 s incremental scoring
+    kernel at a 10k mini-batch). This index encodes and histograms each ROW
+    once; ``similarity(ii, jj)`` then evaluates pairs with O(pairs x 64)
+    int16 gathers for the bag bound and runs the DP only on bound survivors.
+    Same outputs as ``edit_similarity_batch(..., prune_below=...)``: pruned
+    entries hold an upper bound <= the cutoff, empties are 0.0."""
+
+    _PAIR_CHUNK = 1 << 19  # bound-gather working set ~64 MB per side
+
+    def __init__(self, strings):
+        self.strings = [s if s else "" for s in strings]
+        codes, lens = _encode_padded(self.strings, _MAX_LEV_LEN)
+        # FULL lengths for the similarity denominator (edit_similarity_batch
+        # truncates the DP but not the GREATEST(len) denominator); truncated
+        # histograms stay a valid lower bound on the truncated DP distance
+        self.lens = np.fromiter(
+            (len(s) for s in self.strings), np.float64, count=len(self.strings)
+        )
+        n = len(self.strings)
+        valid = np.arange(codes.shape[1])[None, :] < lens[:, None]
+        rows = np.nonzero(valid)[0]
+        flat = rows * 64 + (codes[valid] & 63)
+        self.hist = (
+            np.bincount(flat, minlength=n * 64).reshape(n, 64).astype(np.int16)
+        )
+
+    def similarity(self, ii: np.ndarray, jj: np.ndarray,
+                   prune_below: float) -> np.ndarray:
+        p = len(ii)
+        out = np.zeros(p, dtype=np.float64)
+        la, lb = self.lens[ii], self.lens[jj]
+        mx = np.maximum(np.maximum(la, lb), 1.0)
+        valid = (la > 0) & (lb > 0)
+        sim_ub = np.zeros(p, dtype=np.float64)
+        for s in range(0, p, self._PAIR_CHUNK):
+            e = min(s + self._PAIR_CHUNK, p)
+            d = self.hist[ii[s:e]].astype(np.int16)
+            d -= self.hist[jj[s:e]]
+            bound = np.maximum(
+                np.clip(d, 0, None).sum(axis=1, dtype=np.int32),
+                np.clip(-d, 0, None).sum(axis=1, dtype=np.int32),
+            )
+            sim_ub[s:e] = np.clip(1.0 - bound / mx[s:e], 0.0, 1.0)
+        live = valid & (sim_ub > prune_below)
+        # pruned-but-valid entries report their (<= cutoff) upper bound
+        out[valid] = sim_ub[valid]
+        li = np.nonzero(live)[0]
+        if len(li):
+            sa = [self.strings[i] for i in ii[li]]
+            sb = [self.strings[i] for i in jj[li]]
+            dist = levenshtein_batch(sa, sb).astype(np.float64)
+            out[li] = np.clip(1.0 - dist / mx[li], 0.0, 1.0)
+        return out
+
+
 def edit_similarity_batch(a: list[str | None], b: list[str | None],
                           prune_below: float | None = None) -> np.ndarray:
     """1 - dist/max(len) clamped to [0,1]; 0.0 when either side empty/None.

@@ -263,3 +263,29 @@ def test_decode_rejects_unsupported():
         codecs.decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
     with _pytest.raises(ValueError):
         codecs.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+
+
+def test_editsim_index_matches_batch():
+    import numpy as np
+
+    from mdm_ray.simfuncs import EditSimIndex, edit_similarity_batch
+
+    rng = np.random.default_rng(7)
+    alphabet = list("ABCDEFGH ")
+    strings = [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 20)))
+        for _ in range(60)
+    ] + [None, "", "A" * 80, "A" * 79 + "B"]
+    n = len(strings)
+    ii = rng.integers(0, n, size=500)
+    jj = rng.integers(0, n, size=500)
+    exact = edit_similarity_batch(
+        [strings[i] for i in ii], [strings[j] for j in jj]
+    )
+    got = EditSimIndex(strings).similarity(ii, jj, prune_below=0.6)
+    # consumer contract: identical after the > cutoff threshold
+    assert np.array_equal(
+        np.where(got > 0.6, got, 0.0), np.where(exact > 0.6, exact, 0.0)
+    )
+    # pruned entries must still be valid upper bounds
+    assert (got + 1e-12 >= exact).all()
