@@ -366,13 +366,23 @@ def _partition_by_key(blocked_ds, assign: dict[str, int] | None = None):
     its block by the actual key.
 
     ``assign``: optional heavy-key → partition overrides from
-    ``plan_partitions`` (work-balanced LPT placement)."""
+    ``plan_partitions`` (work-balanced LPT placement).
+
+    Partition count is ~8× the CPU count: scoring cost per pair is
+    non-uniform (pairs that survive the cheap bound run the O(L²) DP
+    kernel, and true-duplicate-dense keys have far higher survivor rates),
+    so the LPT plan's size²-based weights misestimate real cost by 2–3× on
+    some partitions. Finer granularity bounds the absolute straggler
+    instead: at 4× (one task ≈ 1.6 s mean) the worst scoring task measured
+    14–30 s; at 8× it is 7–12 s, and the stage tail no longer dominates the
+    4→16-cpu scaling ratio. Per-task scheduling overhead is ~ms, noise at
+    this size."""
     import ray
     import zlib
 
     from .dsutil import default_parallelism
 
-    n = default_parallelism(multiplier=4)
+    n = default_parallelism(multiplier=8)
     assign_ref = ray.put(assign) if assign else None
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -405,7 +415,8 @@ def _plan_from_census(census, cfg):
 
     if not census:
         return None
-    return plan_partitions(census, cfg.max_block_size, default_parallelism(multiplier=4))
+    # must agree with _partition_by_key's fan-out so planned ids are valid
+    return plan_partitions(census, cfg.max_block_size, default_parallelism(multiplier=8))
 
 
 def build_pairs(blocked_ds, id_col: str = "doc_id", census: dict[str, int] | None = None, cfg=None):
