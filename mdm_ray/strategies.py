@@ -84,6 +84,33 @@ class SegmentExactStrategy:
         return eq.to_numpy(zero_copy_only=False).astype(np.float64)
 
 
+class SaltCollidingStrategy:
+    """Testing plug-in whose blocking keys deliberately land in the reserved
+    chunk-pair salt namespace (``…#<int>_<int>``) — exercises the
+    ``_escape_salt_marker`` boundary: without escaping, these groups would be
+    chunk-filtered to zero pairs (or TypeError on a missing chunk column)."""
+
+    name = "saltkey"
+    weight = 0.0
+    pair_columns = ("customer_segment",)
+
+    def __init__(self, colliding: bool = True):
+        # colliding=False emits the same partition of rows under a key that
+        # does NOT hit the reserved namespace — the test's control twin
+        self.template = "x_tag:{}#1_2" if colliding else "x_tag:{}_1_2"
+
+    def blocking_keys(self, batch: pa.Table) -> list:
+        segs = (
+            batch["customer_segment"].to_pylist()
+            if "customer_segment" in batch.column_names
+            else [None] * batch.num_rows
+        )
+        return [[self.template.format(s)] if s else [] for s in segs]
+
+    def score_pairs(self, batch: pa.Table) -> np.ndarray:
+        return np.zeros(batch.num_rows, np.float64)
+
+
 class NoopStrategy:
     """Example/testing plug-in that contributes nothing (zero scores, no
     keys) — with a deliberately large weight so the retain-bound budget
@@ -129,9 +156,20 @@ def apply_extra_scores(batch: pa.Table, combined: np.ndarray, cfg,
     return combined
 
 
+def _escape_salt_marker(key: str) -> str:
+    """The pair machinery reserves the ``…#<int>_<int>`` key suffix for its
+    chunk-pair salting (pairs.py ``_emit_group``); a user key that happens to
+    land in that namespace (e.g. ``x_tag:A#1_2``) would have its group
+    silently chunk-filtered. Escape ``#`` → ``#~`` (injective: machinery
+    salts are appended AFTER this, and ``~`` breaks the int parse so the
+    group is treated as a plain key)."""
+    return key.replace("#", "#~") if "#" in key else key
+
+
 def extra_blocking_keys(batch: pa.Table, cfg) -> list[list[str]] | None:
     """Union of per-strategy extra blocking keys per row (None when no
-    strategy contributes any)."""
+    strategy contributes any). Keys are escaped out of the reserved
+    ``#<int>_<int>`` salt namespace — strategies may emit any string."""
     strategies = getattr(cfg, "extra_strategies", ())
     if not strategies:
         return None
@@ -139,8 +177,8 @@ def extra_blocking_keys(batch: pa.Table, cfg) -> list[list[str]] | None:
     for strat in strategies:
         keys = strat.blocking_keys(batch)
         if merged is None:
-            merged = [list(k) for k in keys]
+            merged = [[_escape_salt_marker(x) for x in k] for k in keys]
         else:
             for row, k in zip(merged, keys):
-                row.extend(k)
+                row.extend(_escape_salt_marker(x) for x in k)
     return merged

@@ -8,7 +8,12 @@ on Ray workers, so they cannot be defined in this test module)."""
 
 from mdm_ray import pipeline, synth
 from mdm_ray.config import EngineConfig
-from mdm_ray.strategies import MatchStrategy, NoopStrategy, SegmentExactStrategy
+from mdm_ray.strategies import (
+    MatchStrategy,
+    NoopStrategy,
+    SaltCollidingStrategy,
+    SegmentExactStrategy,
+)
 
 
 def test_protocol_conformance():
@@ -34,6 +39,31 @@ def test_noop_strategy_keeps_scores_and_clusters(ray_session):
     assert base["golden"].count() == ext["golden"].count()
     # the extra score column is present (all zeros) on the extended run
     assert "noop_score" in ext["scored"].schema().names
+
+
+def test_salt_namespace_keys_are_escaped(ray_session):
+    """A strategy key shaped like the reserved ``…#<int>_<int>`` salt suffix
+    must behave as a plain blocking key: identical pair output to an
+    equal-weight twin strategy whose key partitions rows the same way but
+    does not collide (corpora identical by construction — content-seeded
+    generator). Without escaping, the colliding run chunk-filters those
+    groups (dropping pairs) or TypeErrors on the missing chunk column."""
+    docs = synth.generate_documents_ray(80, parallelism=2)
+    seg = pipeline.run_er(
+        docs, EngineConfig(extra_strategies=(SaltCollidingStrategy(colliding=False),))
+    )
+    docs2 = synth.generate_documents_ray(80, parallelism=2)
+    salt = pipeline.run_er(
+        docs2, EngineConfig(extra_strategies=(SaltCollidingStrategy(colliding=True),))
+    )
+
+    def pair_set(out):
+        t = out["scored"].select_columns(["doc1_id", "doc2_id"]).to_pandas()
+        return {(r.doc1_id, r.doc2_id) for r in t.itertuples()}
+
+    # x_tag:<seg>#1_2 escapes to a plain key partitioning rows identically to
+    # x_seg:<seg> — the candidate-pair sets must be equal
+    assert pair_set(salt) == pair_set(seg)
 
 
 def test_scoring_strategy_shifts_combined_scores(ray_session):
