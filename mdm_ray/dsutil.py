@@ -138,14 +138,19 @@ def _part_codes(col, n: int) -> np.ndarray:
         v = (v ^ (v >> 27)) * np.uint64(0x94D049BB133111EB)
         v ^= v >> 31
         return (v % np.uint64(n)).astype(np.int32)
-    return np.fromiter(
-        (
-            0 if k is None else zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
-            for k in arr.to_pylist()
-        ),
-        dtype=np.int32,
-        count=len(arr),
+    # string keys: hash per UNIQUE value (dictionary-encode in C++, Python
+    # crc32 only over the dictionary), then gather — keys repeat per group,
+    # so this is O(unique) Python instead of O(rows)
+    enc = pc.dictionary_encode(arr)
+    uniq = enc.dictionary.to_pylist()
+    codes = np.fromiter(
+        (zlib.crc32(k.encode("utf-8", "surrogatepass")) % n for k in uniq),
+        dtype=np.int32, count=len(uniq),
     )
+    iv = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(codes) == 0:
+        return np.zeros(len(arr), np.int32)
+    return np.where(iv < 0, 0, codes[np.maximum(iv, 0)]).astype(np.int32)
 
 
 def hash_partition_by(ds, key: str, n: int | None = None):

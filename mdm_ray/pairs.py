@@ -386,19 +386,33 @@ def _partition_by_key(blocked_ds, assign: dict[str, int] | None = None):
     assign_ref = ray.put(assign) if assign else None
 
     def add_part(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         planned = ray.get(assign_ref) if assign_ref is not None else None
-        if planned:
-            parts = []
-            for k in b["block_key"].to_pylist():
-                p = planned.get(k)
-                if p is None:
-                    p = zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
-                parts.append(p)
+        # keys repeat per blocking group: resolve the plan/crc32 per UNIQUE
+        # key (Python over the dictionary only), then gather per row in C
+        col = b["block_key"]
+        enc = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        uniq = enc.dictionary.to_pylist()
+        lookup = planned.get if planned else (lambda _k: None)
+
+        def part_of(k: str) -> int:
+            p = lookup(k)
+            if p is None:
+                return zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
+            return p
+
+        codes = np.fromiter(
+            (part_of(k) for k in uniq), dtype=np.int32, count=len(uniq)
+        )
+        if len(codes) == 0:
+            parts = np.zeros(b.num_rows, np.int32)
         else:
-            parts = [
-                zlib.crc32(k.encode("utf-8", "surrogatepass")) % n
-                for k in b["block_key"].to_pylist()
-            ]
+            iv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            parts = codes[iv]
         return b.append_column("_part", pa.array(parts, pa.int32()))
 
     # pre-split (cheap, no shuffle): the sort emits one output partition per
