@@ -51,12 +51,16 @@ def key_hash(k: str) -> int:
 
 import re
 
-# the salt namespace: pairs.py treats any block key ending in '#<int>_<int>'
-# as a chunk-pair salted group, so strategy-provided keys must never land in
-# it — escape_salt_namespace() appends a suffix that breaks the int parse
-# (grouping semantics are unchanged: both sides of a match get the same
-# escaped key)
-_SALT_SUFFIX_RE = re.compile(r"#\d+_\d+$")
+# the salt namespace: pairs.py treats a block key ending in '#<digits>_<digits>'
+# (this exact regex — pairs._SALT_RE is the same object) as a chunk-pair
+# salted group, so caller-provided keys must never land in it.
+# escape_salt_namespace() appends '#esc' to any key whose suffix could be
+# (mis)read as a salt AFTER stripping previous escapes — matching the
+# '(#esc)*' tail makes the map injective: a literal 'a#1_2#esc' escapes to
+# 'a#1_2#esc#esc', so it can never collide with the escaped form of 'a#1_2'.
+# Grouping semantics are unchanged: both sides of a match get the same
+# escaped key.
+_SALT_SUFFIX_RE = re.compile(r"#\d+_\d+(#esc)*$")
 
 
 def escape_salt_namespace(k: str) -> str:
@@ -171,21 +175,16 @@ class BlockKeyEmitter:
         )
 
 
-def oversized_blocks(blocked_ds, cap: int) -> dict[str, int]:
-    """Keys whose block exceeds ``cap``. The groupby-count shuffle moves only
-    (key, count) pairs, and the > cap filter runs distributed, so only the
-    (few) hot keys ever reach the driver — safe at 10^12-doc scale."""
-    counts = blocked_ds.groupby("block_key").count()
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["count()"], cap)), batch_format="pyarrow"
-    )
-    return {r["block_key"]: r["count()"] for r in hot.take_all()}
-
-
 _CENSUS_BUCKETS = 1 << 20  # 8 MiB int64 sketch — constant, independent of key count
 
 
 def hot_key_counts(keyed_features_ds, cap: int, floor: int | None = None) -> dict[str, int]:
+    """Back-compat wrapper around ``hot_key_census`` (hot dict only)."""
+    return hot_key_census(keyed_features_ds, cap, floor)[0]
+
+
+def hot_key_census(keyed_features_ds, cap: int, floor: int | None = None
+                   ) -> tuple[dict[str, int], int]:
     """Hot-key census without an all-to-all shuffle (the groupby census cost a
     fixed ~9 s per run regardless of CPU count — it was the pipeline's largest
     serial term). Two map-only passes over the materialized per-doc key
@@ -207,77 +206,84 @@ def hot_key_counts(keyed_features_ds, cap: int, floor: int | None = None) -> dic
     would feed a tree reduce instead of the driver loop; the candidate mask
     ships to pass 2 once via ``ray.put``.
 
+    Both passes run as RAW Ray tasks over the input's materialized block
+    refs (the input is materialized first if it isn't already): a Dataset
+    execution costs ~0.4-0.5 s of executor startup each, which dominated the
+    census on small catalog inputs; as tasks the two passes cost ~50 ms/block.
+
     ``floor`` (default: ``cap``) lowers the exact-recount threshold so the
     census also returns MID-SIZE keys (``floor < count``): pair-partition
-    planning (``plan_partitions``) LPT-places those to kill work skew."""
+    planning (``plan_partitions``) LPT-places those to kill work skew.
+
+    Returns ``(hot, exploded_rows)``: the hot-key dict plus the POST-SALT
+    exploded row count — Σ per-doc key-list lengths (the sketch's bucket sum,
+    exact: every key occurrence lands in exactly one bucket) plus the salting
+    re-emission Σ_{s>cap} s·(⌈s/cap⌉−1) from the hot keys. Free by-product of
+    the sketch pass; sizes the pair exchange (``dsutil.exchange_fanout``)."""
     import ray
+
+    from collections import Counter
+
+    from .dsutil import block_refs
 
     M = _CENSUS_BUCKETS
     if floor is None:
         floor = cap
+    keyed_features_ds = keyed_features_ds.materialize()
+    refs = block_refs(keyed_features_ds)
 
-    def sketch(batch: pa.Table) -> pa.Table:
-        kh = batch["key_hashes"].combine_chunks()
-        flat = pc.list_flatten(kh).to_numpy(zero_copy_only=False).astype(np.uint64)
-        cnt = np.bincount((flat % M).astype(np.int64), minlength=0)
-        nz = np.flatnonzero(cnt)
-        return pa.table(
-            {
-                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
-                "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64()),
-            }
-        )
-
+    sketch_task = ray.remote(_census_sketch_block)
     total = np.zeros(M, np.int64)
-    for t in (
-        keyed_features_ds.select_columns(["key_hashes"])
-        .map_batches(sketch, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    ):
-        np.add.at(
-            total,
-            t["bucket"].to_numpy(zero_copy_only=False),
-            t["cnt"].to_numpy(zero_copy_only=False),
-        )
+    for nz, cnt in ray.get([sketch_task.remote(r) for r in refs]):
+        total[nz] += cnt
+    base_rows = int(total.sum())
     mask = total > floor
     if not mask.any():
-        return {}
+        return {}, base_rows
     mask_ref = ray.put(mask)
 
-    def exact(batch: pa.Table) -> pa.Table:
-        m = ray.get(mask_ref)
-        kh = batch["key_hashes"].combine_chunks()
-        flat = pc.list_flatten(kh).to_numpy(zero_copy_only=False).astype(np.uint64)
-        hit = m[(flat % M).astype(np.int64)]
-        from collections import Counter
+    exact_task = ray.remote(_census_exact_block)
+    merged: Counter = Counter()
+    for keys, cnts in ray.get([exact_task.remote(r, mask_ref) for r in refs]):
+        for k, n in zip(keys, cnts):
+            merged[k] += n
+    hot = {k: n for k, n in merged.items() if n > floor}
+    resalt = sum(s * (-(-s // cap) - 1) for s in hot.values() if s > cap)
+    return hot, base_rows + resalt
 
-        c: Counter = Counter()
-        if hit.any():
-            parent = pc.list_parent_indices(kh).to_numpy(zero_copy_only=False)
-            docs = np.unique(parent[hit])
-            key_lists = batch["block_keys"].take(pa.array(docs)).to_pylist()
-            for keys in key_lists:
-                for k in keys:
-                    if m[key_hash(k) % M]:
-                        c[k] += 1
-        return pa.table(
-            {
-                "block_key": pa.array(list(c.keys()), pa.string()),
-                "cnt": pa.array(list(c.values()), pa.int64()),
-            }
-        )
 
+def _census_sketch_block(block: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block sketch pass: (nonzero buckets, counts) of key fingerprints."""
+    M = _CENSUS_BUCKETS
+    if block.num_rows == 0 or "key_hashes" not in block.schema.names:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    kh = block["key_hashes"].combine_chunks()
+    flat = pc.list_flatten(kh).to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = np.bincount((flat % M).astype(np.int64), minlength=0)
+    nz = np.flatnonzero(cnt)
+    return nz.astype(np.int64), cnt[nz].astype(np.int64)
+
+
+def _census_exact_block(block: pa.Table, mask: np.ndarray) -> tuple[list, list]:
+    """Per-block exact recount of keys landing in candidate (> floor) buckets."""
     from collections import Counter
 
-    merged: Counter = Counter()
-    for t in (
-        keyed_features_ds.select_columns(["block_keys", "key_hashes"])
-        .map_batches(exact, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    ):
-        for k, n in zip(t["block_key"].to_pylist(), t["cnt"].to_pylist()):
-            merged[k] += n
-    return {k: n for k, n in merged.items() if n > floor}
+    M = _CENSUS_BUCKETS
+    if block.num_rows == 0 or "key_hashes" not in block.schema.names:
+        return [], []
+    kh = block["key_hashes"].combine_chunks()
+    flat = pc.list_flatten(kh).to_numpy(zero_copy_only=False).astype(np.uint64)
+    hit = mask[(flat % M).astype(np.int64)]
+    c: Counter = Counter()
+    if hit.any():
+        parent = pc.list_parent_indices(kh).to_numpy(zero_copy_only=False)
+        docs = np.unique(parent[hit])
+        key_lists = block["block_keys"].take(pa.array(docs)).to_pylist()
+        for keys in key_lists:
+            for k in keys:
+                if mask[key_hash(k) % M]:
+                    c[k] += 1
+    return list(c.keys()), list(c.values())
 
 
 def attach_block_keys(features_ds, cfg: EngineConfig = DEFAULT_CONFIG):

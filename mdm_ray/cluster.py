@@ -120,11 +120,9 @@ def _min_label_block(batch: pa.Table):
 
 def _block_refs(mat_ds) -> list:
     """Arrow-block object refs of a materialized Dataset (no execution)."""
-    return [
-        ref
-        for bundle in mat_ds.iter_internal_ref_bundles()
-        for ref, _meta in bundle.blocks
-    ]
+    from .dsutil import block_refs
+
+    return block_refs(mat_ds)
 
 
 def _partials_block(block: pa.Table, fr) -> tuple[int, pa.Table]:

@@ -167,7 +167,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid = data[i : i + 4]
         (clen,) = struct.unpack_from("<I", data, i + 4)
         chunk = data[i + 8 : i + 8 + clen]
+        if len(chunk) < clen:
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
         elif cid == b"data":
             raw = chunk

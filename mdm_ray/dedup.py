@@ -130,12 +130,13 @@ def salted_bucket_scored(keyed_ds, id_col: str, payload_cols: list[str],
     buckets (e.g. the first agreeing band, re-derived from the sketch)."""
     import ray
 
-    from .blocking import explode_blocked, hot_key_counts, salt_batch
+    from .blocking import explode_blocked, hot_key_census, salt_batch
+    from .dsutil import exchange_fanout
     from .pairs import _partition_by_key, emit_pair_indices_block
 
     dedup_keys = pair_dedup == "min_key"
     keyed_ds = keyed_ds.materialize()
-    hot = hot_key_counts(keyed_ds, cap)
+    hot, blocked_rows = hot_key_census(keyed_ds, cap)
     blocked = explode_blocked(keyed_ds, payload_cols=[id_col] + payload_cols,
                               include_key_hashes=dedup_keys)
     if hot:
@@ -162,7 +163,8 @@ def salted_bucket_scored(keyed_ds, id_col: str, payload_cols: list[str],
         if not emitted:
             yield make_scorer(sorted_batch)(_EMPTY_IDX, _EMPTY_IDX)
 
-    return _partition_by_key(blocked).map_batches(
+    n = num_partitions or exchange_fanout(blocked_rows)
+    return _partition_by_key(blocked, n=n).map_batches(
         kernel, batch_size=None, batch_format="pyarrow"
     )
 
@@ -525,7 +527,8 @@ def embedding_dedup(ds, block_col: str | None, id_col: str = "vec_id",
     materializes."""
     import ray
 
-    from .blocking import hot_key_counts, salt_batch
+    from .blocking import hot_key_census, salt_batch
+    from .dsutil import exchange_fanout
     from .pairs import _partition_by_key
 
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
@@ -546,7 +549,7 @@ def embedding_dedup(ds, block_col: str | None, id_col: str = "vec_id",
 
     from .blocking import explode_blocked
 
-    hot = hot_key_counts(keyed, max_block)
+    hot, blocked_rows = hot_key_census(keyed, max_block)
     blocked = explode_blocked(keyed, payload_cols=[id_col, "_vec"])
     if hot:
         hot_ref = ray.put(hot)
@@ -618,6 +621,6 @@ def embedding_dedup(ds, block_col: str | None, id_col: str = "vec_id",
         if not emitted:
             yield empty
 
-    return _partition_by_key(blocked).map_batches(
+    return _partition_by_key(blocked, n=exchange_fanout(blocked_rows)).map_batches(
         kernel, batch_size=None, batch_format="pyarrow"
     )

@@ -37,6 +37,30 @@ def default_parallelism(multiplier: int = 2, lo: int = 16, hi: int = 512) -> int
     return max(lo, min(hi, cpus * multiplier))
 
 
+# Exploded blocked rows per pair-exchange partition. Calibration (sf0.1,
+# 32 CPUs, 2026-08-18): the ER bench fixture explodes 48,350 docs into ~500k
+# (doc, key) rows and needs the full 8×-CPU fan-out to bound the scoring
+# straggler (pairs.py:_partition_by_key docstring), so the divisor must keep
+# rows/2048 ≥ 8×CPU there; the 40k-row `part` catalog queries explode to
+# ~100-280k rows and stop paying 256-partition sort overhead once the
+# fan-out tracks their size instead of the cluster's.
+EXCHANGE_ROWS_PER_TASK = 2048
+
+
+def exchange_fanout(rows: int | None, rows_per_task: int = EXCHANGE_ROWS_PER_TASK) -> int:
+    """Pair-exchange partition count, scaled to the exploded blocked row
+    count: ``ceil(rows / rows_per_task)`` clamped to [1×CPU, 8×CPU]. The 8×
+    cap is the straggler bound measured for the ER scoring stage; the 1× floor
+    keeps every core fed. ``rows=None`` (unknown) falls back to the cap —
+    correct for unbounded inputs, wasteful for small ones, so callers that
+    can count cheaply (materialized upstream, census pass) should."""
+    cap = default_parallelism(multiplier=8)
+    if rows is None:
+        return cap
+    lo = default_parallelism(multiplier=1, lo=8)
+    return max(lo, min(cap, -(-int(rows) // rows_per_task)))
+
+
 def join_partitions(hi: int = 16) -> int:
     """Hash-join partition count: Ray's hash-shuffle join spawns one
     aggregator actor per partition; sizing past the CPU count can deadlock a
@@ -45,6 +69,15 @@ def join_partitions(hi: int = 16) -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(2, min(hi, cpus // 2))
+
+
+def block_refs(mat_ds) -> list:
+    """Arrow-block object refs of a materialized Dataset (no execution)."""
+    return [
+        ref
+        for bundle in mat_ds.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
 
 
 def group_boundaries(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

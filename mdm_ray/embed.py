@@ -20,17 +20,21 @@ import pyarrow as pa
 
 
 def content_string(batch: pa.Table) -> list[str]:
-    """IFNULL-concat of name/email/address/city/company — bigquery_utils.py:248-254."""
+    """IFNULL-concat of name/email/address/city/company — bigquery_utils.py:248-254.
+
+    Vectorized: null→'' fill + one Arrow C++ element-wise join per batch."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
     cols = []
     for name in ["full_name_clean", "email_clean", "address_clean", "city_clean", "company"]:
         if name in batch.column_names:
-            cols.append(batch[name].to_pylist())
+            col = batch[name]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            cols.append(pc.fill_null(col.cast(pa.string()), ""))
         else:
-            cols.append([None] * batch.num_rows)
-    return [
-        " ".join("" if v is None else str(v) for v in row)
-        for row in zip(*cols)
-    ]
+            cols.append(pa.array([""] * n, pa.string()))
+    return pc.binary_join_element_wise(*cols, " ").to_pylist()
 
 
 class HashingEmbedder:

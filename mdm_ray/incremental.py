@@ -514,7 +514,11 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
         from .pairs import build_scored
         from .survivorship import build_golden
 
-        scored = build_scored(build_blocked(unmatched, cfg), cfg)
+        # mini-batches are small: size the pair exchange from the row count
+        # (≤ ~12 block keys per doc) instead of paying the 8×-CPU default
+        scored = build_scored(
+            build_blocked(unmatched, cfg), cfg, rows=unmatched.count() * 12
+        )
         labels = connected_components(
             build_edges(scored), init_labels(unmatched), cfg
         )

@@ -27,6 +27,7 @@ executor can pipeline scoring without materializing a block's full pair set.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -81,6 +82,20 @@ def _min_shared_hash(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return out
 
 
+# The ONLY key shape treated as a chunk-pair salt: '#<digits>_<digits>' at
+# end-of-string. Must stay strictly narrower than what
+# blocking.escape_salt_namespace escapes — int()-based parsing accepted
+# '#+1_2' / '# 1_2' / '#-1_2', which the escape (correctly) leaves alone.
+_SALT_RE = re.compile(r"^(.*)#(\d+)_(\d+)$", re.DOTALL)
+
+
+def _parse_salt(key: str) -> tuple[str, int, int]:
+    m = _SALT_RE.match(key)
+    if m is None:
+        return key, 0, 0
+    return m.group(1), int(m.group(2)), int(m.group(3))
+
+
 def _emit_group(
     chunks: np.ndarray | None,
     key: str,
@@ -89,14 +104,7 @@ def _emit_group(
 ) -> tuple[np.ndarray, np.ndarray, str]:
     """Index pairs (ii, jj) for one blocking group plus its unsalted base key."""
     n = stop - start
-    if "#" in key and key.rsplit("#", 1)[1].count("_") == 1:
-        base, salt = key.rsplit("#", 1)
-        try:
-            i_chunk, j_chunk = (int(x) for x in salt.split("_"))
-        except ValueError:
-            base, i_chunk, j_chunk = key, 0, 0
-    else:
-        base, i_chunk, j_chunk = key, 0, 0
+    base, i_chunk, j_chunk = _parse_salt(key)
     if i_chunk == j_chunk:
         ii, jj = np.triu_indices(n, k=1)
         ii = ii + start
@@ -121,14 +129,7 @@ def _emit_group_sides(
     ``within=True`` means pair left×right upper-triangularly (same chunk);
     otherwise full cross product. Used by kernels that compare the two sides
     wholesale (e.g. one matmul) instead of materializing index pairs."""
-    if "#" in key and key.rsplit("#", 1)[1].count("_") == 1:
-        base, salt = key.rsplit("#", 1)
-        try:
-            i_chunk, j_chunk = (int(x) for x in salt.split("_"))
-        except ValueError:
-            i_chunk, j_chunk = 0, 0
-    else:
-        i_chunk, j_chunk = 0, 0
+    _, i_chunk, j_chunk = _parse_salt(key)
     idx = np.arange(start, stop, dtype=np.int64)
     if i_chunk == j_chunk:
         return idx, idx, True
@@ -353,7 +354,8 @@ def plan_partitions(census: dict[str, int], cap: int, n: int) -> dict[str, int]:
     return assign
 
 
-def _partition_by_key(blocked_ds, assign: dict[str, int] | None = None):
+def _partition_by_key(blocked_ds, assign: dict[str, int] | None = None,
+                      n: int | None = None):
     """Hash-partition so every key group lands whole in one block.
 
     Implemented as sort on a derived ``_part = crc32(block_key) mod n`` int
@@ -368,21 +370,26 @@ def _partition_by_key(blocked_ds, assign: dict[str, int] | None = None):
     ``assign``: optional heavy-key → partition overrides from
     ``plan_partitions`` (work-balanced LPT placement).
 
-    Partition count is ~8× the CPU count: scoring cost per pair is
+    ``n``: partition count, default ``exchange_fanout(None)`` = 8× the CPU
+    count — the straggler bound for large inputs: scoring cost per pair is
     non-uniform (pairs that survive the cheap bound run the O(L²) DP
     kernel, and true-duplicate-dense keys have far higher survivor rates),
     so the LPT plan's size²-based weights misestimate real cost by 2–3× on
     some partitions. Finer granularity bounds the absolute straggler
     instead: at 4× (one task ≈ 1.6 s mean) the worst scoring task measured
     14–30 s; at 8× it is 7–12 s, and the stage tail no longer dominates the
-    4→16-cpu scaling ratio. Per-task scheduling overhead is ~ms, noise at
-    this size."""
+    4→16-cpu scaling ratio. Per-task scheduling overhead is ~ms at that
+    size — but NOT at small inputs, where a fixed 8×-CPU sort exchange is
+    pure overhead (256-way sorts on 40k-row catalog tables regressed
+    cluster_cc 3× in round 3), so callers that know the exploded row count
+    pass ``n = exchange_fanout(rows)``."""
     import ray
     import zlib
 
-    from .dsutil import default_parallelism
+    from .dsutil import exchange_fanout
 
-    n = default_parallelism(multiplier=8)
+    if n is None:
+        n = exchange_fanout(None)
     assign_ref = ray.put(assign) if assign else None
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -424,31 +431,37 @@ def _partition_by_key(blocked_ds, assign: dict[str, int] | None = None):
     )
 
 
-def _plan_from_census(census, cfg):
-    from .dsutil import default_parallelism
-
+def _plan_from_census(census, cfg, n: int):
+    """LPT plan for the hot keys; ``n`` must equal the _partition_by_key
+    fan-out so planned partition ids are valid."""
     if not census:
         return None
-    # must agree with _partition_by_key's fan-out so planned ids are valid
-    return plan_partitions(census, cfg.max_block_size, default_parallelism(multiplier=8))
+    return plan_partitions(census, cfg.max_block_size, n)
 
 
-def build_pairs(blocked_ds, id_col: str = "doc_id", census: dict[str, int] | None = None, cfg=None):
+def build_pairs(blocked_ds, id_col: str = "doc_id", census: dict[str, int] | None = None,
+                cfg=None, rows: int | None = None):
     """blocked Dataset -> globally-deduped candidate-pair Dataset (both sides'
-    scoring fields inline; no further shuffle needed before scoring)."""
+    scoring fields inline; no further shuffle needed before scoring).
+
+    ``rows``: exploded blocked row count when the caller knows it (e.g. from
+    ``blocking.hot_key_census``) — sizes the exchange fan-out."""
     import functools
 
     from .config import DEFAULT_CONFIG
+    from .dsutil import exchange_fanout
 
-    assign = _plan_from_census(census, cfg or DEFAULT_CONFIG)
-    return _partition_by_key(blocked_ds, assign).map_batches(
+    n = exchange_fanout(rows)
+    assign = _plan_from_census(census, cfg or DEFAULT_CONFIG, n)
+    return _partition_by_key(blocked_ds, assign, n=n).map_batches(
         functools.partial(emit_pairs_block, id_col=id_col),
         batch_size=None, batch_format="pyarrow",
     )
 
 
 def build_scored(blocked_ds, cfg=None, retain_filter: bool = True,
-                 census: dict[str, int] | None = None):
+                 census: dict[str, int] | None = None,
+                 rows: int | None = None):
     """blocked Dataset → scored-pair Dataset in TWO streaming stages:
 
     1. Per exchange partition, a fused generator emits candidate pairs in
@@ -473,7 +486,10 @@ def build_scored(blocked_ds, cfg=None, retain_filter: bool = True,
         score_strings_batch,
     )
 
+    from .dsutil import exchange_fanout
+
     cfg = cfg or DEFAULT_CONFIG
+    n = exchange_fanout(rows)
 
     def emit_and_cheap(batch: pa.Table) -> Iterator[pa.Table]:
         sorted_batch, gen = emit_pair_indices_block(batch)
@@ -489,9 +505,9 @@ def build_scored(blocked_ds, cfg=None, retain_filter: bool = True,
         if not emitted:
             yield empty_cheap_table(cfg)
 
-    inter = _partition_by_key(blocked_ds, _plan_from_census(census, cfg)).map_batches(
-        emit_and_cheap, batch_size=None, batch_format="pyarrow"
-    )
+    inter = _partition_by_key(
+        blocked_ds, _plan_from_census(census, cfg, n), n=n
+    ).map_batches(emit_and_cheap, batch_size=None, batch_format="pyarrow")
     return inter.map_batches(
         functools.partial(score_strings_batch, cfg=cfg, retain_filter=retain_filter),
         batch_size=cfg.score_batch_size,

@@ -41,15 +41,18 @@ def build_features(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings:
 def run_er(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = True):
     """Full pipeline; returns dict of the key stage Datasets (lazy where
     possible — scored/golden are consumed by the caller)."""
-    from .blocking import hot_key_counts
+    from .blocking import hot_key_census
     from .pairs import build_scored
 
     feats = build_features(docs_ds, cfg, with_embeddings).materialize()
-    # one census serves both salting (keys > cap) and work-balanced exchange
-    # placement (keys > cap/4 get LPT partition assignments in build_scored)
-    census = hot_key_counts(feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4))
+    # one census serves salting (keys > cap), work-balanced exchange placement
+    # (keys > cap/4 get LPT partition assignments in build_scored), and the
+    # exploded-row count that sizes the pair-exchange fan-out
+    census, blocked_rows = hot_key_census(
+        feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4)
+    )
     blocked = build_blocked(feats, cfg, census=census)
-    scored = build_scored(blocked, cfg, census=census).materialize()
+    scored = build_scored(blocked, cfg, census=census, rows=blocked_rows).materialize()
     edges = build_edges(scored)
     labels = connected_components(edges, init_labels(feats), cfg)
     golden = build_golden(feats, labels, num_partitions=cfg.cc_num_partitions)
@@ -88,15 +91,16 @@ def run_er_checkpointed(docs_ds, ckpt_root: str | None,
     )
     if stop_after == "features":
         return {"features": feats, "resumed": resumed}
-    from .blocking import hot_key_counts
+    from .blocking import hot_key_census
     from .pairs import build_scored
 
     def _compute_scored():
-        census = hot_key_counts(
+        census, blocked_rows = hot_key_census(
             feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4)
         )
         return build_scored(
-            build_blocked(feats, cfg, census=census), cfg, census=census
+            build_blocked(feats, cfg, census=census), cfg, census=census,
+            rows=blocked_rows,
         ).materialize()
 
     scored, resumed["scored"] = storage.stage_or_compute(
@@ -193,11 +197,27 @@ def resolve_docs(docs_ds, labels_ds, num_partitions: int = 16):
     )
 
 
+_PAIRWISE_F1_MAX_PAIRS = 50_000_000
+
+
 def pairwise_f1(golden_ds, true_pairs: set[tuple[str, str]]) -> dict:
-    """Exact pairwise precision/recall/F1 of predicted clusters vs truth."""
+    """Exact pairwise precision/recall/F1 of predicted clusters vs truth.
+
+    TEST-SCALE ONLY: both the predicted-pair set and ``true_pairs`` are
+    driver-side Python sets (the labeled fixtures are small by construction).
+    A production-size golden table must never route through here — the guard
+    below refuses once the implied pair count passes ~50M rather than
+    silently OOMing the driver."""
     predicted: set[tuple[str, str]] = set()
+    implied = 0
     for row in golden_ds.select_columns(["source_record_ids"]).iter_rows():
         ids = sorted(row["source_record_ids"])
+        implied += len(ids) * (len(ids) - 1) // 2
+        if implied > _PAIRWISE_F1_MAX_PAIRS:
+            raise ValueError(
+                "pairwise_f1 is a test-scale gate (driver-side pair sets); "
+                f"input implies > {_PAIRWISE_F1_MAX_PAIRS} pairs"
+            )
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 predicted.add((ids[i], ids[j]))

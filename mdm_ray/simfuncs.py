@@ -54,15 +54,97 @@ def _encode_padded(strings: list[str | None], max_len: int | None) -> tuple[np.n
 
 
 def levenshtein_batch(a: list[str | None], b: list[str | None], max_len: int = _MAX_LEV_LEN) -> np.ndarray:
-    """Levenshtein distances for N string pairs in one vectorized DP sweep.
+    """Levenshtein distances for N string pairs, vectorized across the batch.
 
     Strings longer than ``max_len`` are truncated (config guard — candidate
     fields are short). Empty/None counts as length 0.
-    """
+
+    Dispatch: ``max_len ≤ 64`` (the default) runs the bit-parallel Myers
+    kernel — O(|b|) iterations of ~15 uint64 ops on [N] vectors, ~10× the
+    row-DP sweep, output-identical (``test_myers_matches_dp``); longer
+    inputs fall back to the [N, L] DP sweep."""
     assert len(a) == len(b)
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.int32)
+    if max_len <= 64:
+        ca, la = _encode_padded(a, max_len)
+        cb, lb = _encode_padded(b, max_len)
+        return _myers_batch(ca, la, cb, lb)
+    return _levenshtein_dp_batch(a, b, max_len)
+
+
+def _myers_batch(ca: np.ndarray, la: np.ndarray, cb: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Bit-parallel Myers (1999) edit distance, vectorized over N pairs.
+
+    Requires pattern length ≤ 64 (one uint64 word per pair). Per text
+    position: the standard VP/VN carry recurrence on [N] uint64 vectors (the
+    uint64 '+' wraps mod 2^64 — that wraparound IS the algorithm's carry
+    propagation); the per-pair score bit is the pattern's last-row bit
+    ``1 << (len(a)-1)``. Inactive rows (j ≥ len(b)) hold their state via
+    np.where, so mixed-length batches need no sorting or bucketing."""
+    n, L1 = ca.shape
+    assert L1 <= 64
+    one = np.uint64(1)
+    # compact alphabet over the text side's codes; pattern chars absent from
+    # every text never have their Peq column read
+    alph = np.unique(cb)  # sorted, includes the -1 pad
+    bmap = np.searchsorted(alph, cb).astype(np.int64)  # [N, L2]
+    pos = np.searchsorted(alph, ca)
+    np.clip(pos, 0, len(alph) - 1, out=pos)
+    present = (alph[pos] == ca) & (ca != -1)
+    # Peq[p, c]: bit i set iff a_p[i] == alph[c]. Within one (row, char) cell
+    # the contributing bit positions are DISTINCT powers of two, so OR == SUM
+    # — which bincount computes in C. float64 weights are exact for sums of
+    # distinct powers up to 2^53, so accumulate in two uint32 halves.
+    A = len(alph)
+    col = np.arange(L1)[None, :]
+    live = present & (col < la[:, None])
+    rows, cols_i = np.nonzero(live)
+    cell = rows * A + pos[rows, cols_i]
+    lo_mask = cols_i < 32
+    lo = np.bincount(cell[lo_mask], weights=(1.0 * (1 << cols_i[lo_mask])),
+                     minlength=n * A)
+    peq = lo.astype(np.uint64)
+    if not lo_mask.all():
+        hi_mask = ~lo_mask
+        hi = np.bincount(cell[hi_mask],
+                         weights=(1.0 * (1 << (cols_i[hi_mask] - 32))),
+                         minlength=n * A)
+        peq |= hi.astype(np.uint64) << np.uint64(32)
+    peq = peq.reshape(n, A)
+
+    score = la.astype(np.int64).copy()
+    vp = np.where(la > 0, (~np.uint64(0)) >> np.uint64(64) - la.astype(np.uint64), np.uint64(0))
+    vn = np.zeros(n, dtype=np.uint64)
+    last_bit = one << np.maximum(la.astype(np.uint64), one) - one  # 1<<(la-1)
+    rows_all = np.arange(n)
+    L2 = cb.shape[1]
+    for j in range(L2):
+        active = (j < lb) & (la > 0)
+        if not active.any():
+            break
+        eq = peq[rows_all, bmap[:, j]]
+        xv = eq | vn
+        xh = (((eq & vp) + vp) ^ vp) | eq
+        hp = vn | ~(xh | vp)
+        hn = vp & xh
+        score += np.where(active & ((hp & last_bit) != 0), 1, 0)
+        score -= np.where(active & ((hn & last_bit) != 0), 1, 0)
+        hp = (hp << one) | one
+        hn = hn << one
+        vp_new = hn | ~(xv | hp)
+        vn_new = hp & xv
+        vp = np.where(active, vp_new, vp)
+        vn = np.where(active, vn_new, vn)
+    # empty pattern: distance is len(b)
+    return np.where(la > 0, score, lb.astype(np.int64)).astype(np.int32)
+
+
+def _levenshtein_dp_batch(a: list[str | None], b: list[str | None], max_len: int) -> np.ndarray:
+    """Row-sweep DP twin of ``_myers_batch`` (used for max_len > 64 and as
+    the validation oracle in tests)."""
+    n = len(a)
     la_max = min(max((len(s) if s else 0) for s in a), max_len)
     lb_max = min(max((len(s) if s else 0) for s in b), max_len)
     ca, la = _encode_padded(a, max(la_max, 1))

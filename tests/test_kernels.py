@@ -94,6 +94,24 @@ def test_levenshtein_vs_duckdb():
     assert ours.tolist() == theirs
 
 
+def test_myers_matches_dp():
+    """The bit-parallel Myers kernel must equal the row-DP sweep on mixed
+    lengths (0..70, truncation at 64), unicode, None/empty, and repeats."""
+    rng = random.Random(99)
+    alpha = string.ascii_letters + " é€0123"
+    a = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 70)))
+        for _ in range(4000)
+    ] + [None, "", "a" * 64, "a" * 70, "abc"]
+    b = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 70)))
+        for _ in range(4000)
+    ] + ["", None, "b" * 64, "a" * 70, "abc"]
+    fast = simfuncs.levenshtein_batch(a, b)
+    slow = simfuncs._levenshtein_dp_batch(a, b, 64)
+    assert (fast == slow).all()
+
+
 def test_edit_similarity_semantics():
     # SQL: 1 - dist/GREATEST(len), NULL-guarded to 0.0
     out = simfuncs.edit_similarity_batch(["KITTEN", None, "AB"], ["SITTING", "X", ""])
@@ -204,6 +222,19 @@ def test_escape_salt_namespace():
     ii, jj, base = _emit_group(None, "x_tag:A#1_2#esc", 0, 3)
     assert base == "x_tag:A#1_2#esc"
     assert len(ii) == 3  # full triangular pairing, not chunk-filtered
+
+    # escape is INJECTIVE on the salt namespace: a literal caller key equal to
+    # an escaped form is escaped again, so two distinct groups never merge
+    assert escape_salt_namespace("a#1_2#esc") == "a#1_2#esc#esc"
+    assert escape_salt_namespace("a#1_2#esc#esc") == "a#1_2#esc#esc#esc"
+
+    # the pair emitter's salt parser accepts ONLY '#<digits>_<digits>' — the
+    # int()-parseable shapes the escape leaves alone must pair as plain keys,
+    # not be chunk-filtered to zero pairs (or TypeError on chunks=None)
+    for weird in ["x#+1_2", "x# 1_2", "x#-1_2"]:
+        assert escape_salt_namespace(weird) == weird
+        ii, jj, base = _emit_group(None, weird, 0, 3)
+        assert base == weird and len(ii) == 3
 
 
 # ---- pure-NumPy media codecs (BMP / PPM / WAV) --------------------------------

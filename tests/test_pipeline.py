@@ -303,4 +303,4 @@ def test_er_fixture_snapshots(ray_session):
     for name in SNAP_QUERIES:
         expect = pd.read_parquet(os.path.join(SNAP_DIR, f"{name}_sf0001.parquet"))
         got = canonical(QUERIES[name](SF_DIR).to_pandas())
-        pd.testing.assert_frame_equal(got, expect, check_exact=True), name
+        pd.testing.assert_frame_equal(got, expect, check_exact=True, obj=name)
