@@ -199,6 +199,61 @@ def run_incremental_bench(num_cpus: int, base_customers: int = 5000,
 LARGE_CUSTOMERS = int(os.environ.get("GRAFT_LARGE_CUSTOMERS", "60000"))
 
 
+def run_ann_bench(sf_dir: str, expand_to: int = 200_000, num_queries: int = 512,
+                  k: int = 10, num_centroids: int = 64, nprobe: int = 8) -> dict:
+    """IVF-vs-brute-force QUERY-phase comparison at a size where compute,
+    not orchestration, dominates: the sf embedding table (2k vectors) is
+    deterministically expanded to ``expand_to`` vectors (seeded gaussian
+    jitter per replica — bench fixture synthesis, not a pipeline stage).
+    The index build is timed separately: it is the one-time cost queries
+    amortize, exactly like the reference's managed vector index."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mdm_ray.similarity import ann_bruteforce, ann_ivf_query, build_ivf_index
+
+    base = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    bmat = np.array(base["embedding"].to_pylist(), dtype=np.float32)
+    reps = -(-expand_to // len(bmat))
+    rng = np.random.default_rng(7)
+    mat = np.concatenate(
+        [bmat + rng.normal(0, 0.05, bmat.shape).astype(np.float32) for _ in range(reps)]
+    )[:expand_to]
+    dim = mat.shape[1]
+    flat = pa.array(mat.reshape(-1), pa.float32())
+    emb = pa.FixedSizeListArray.from_arrays(flat, dim).cast(pa.list_(pa.float32()))
+    tbl = pa.table({"vec_id": pa.array(np.arange(expand_to)), "embedding": emb})
+    ds = ray.data.from_arrow(tbl).repartition(64, shuffle=False).materialize()
+    queries = tbl.slice(0, num_queries)
+
+    t0 = time.time()
+    brute_rows = ann_bruteforce(ds, queries, k=k).count()
+    t_brute = time.time() - t0
+    t0 = time.time()
+    index_ds, cents = build_ivf_index(ds, num_centroids=num_centroids)
+    t_build = time.time() - t0
+    t0 = time.time()
+    ivf_rows = ann_ivf_query(index_ds, cents, queries, k=k, nprobe=nprobe).count()
+    t_ivf = time.time() - t0
+    return {
+        "vectors": expand_to,
+        "queries": num_queries,
+        "k": k,
+        "num_centroids": num_centroids,
+        "nprobe": nprobe,
+        "brute_seconds": round(t_brute, 2),
+        "ivf_build_seconds": round(t_build, 2),
+        "ivf_query_seconds": round(t_ivf, 2),
+        "ivf_speedup": round(t_brute / max(t_ivf, 1e-9), 2),
+        "brute_rows": brute_rows,
+        "ivf_rows": ivf_rows,
+    }
+
+
 def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) -> dict:
     from mdm_ray import queries as Q
 
@@ -241,7 +296,10 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
     timed("percentiles", lambda: Q.q_percentiles(sf_dir).count())
     timed("distinct_count", lambda: Q.q_distinct_count(sf_dir).count())
     timed("media_features", lambda: Q.q_media_features(sf_dir).count())
-    return {"er": er, "er_large": er_large, "queries": timings}
+    ann = run_ann_bench(sf_dir)
+    timings["ann_scale_brute"] = ann["brute_seconds"]
+    timings["ann_scale_ivf"] = ann["ivf_query_seconds"]
+    return {"er": er, "er_large": er_large, "queries": timings, "ann": ann}
 
 
 def main() -> int:
@@ -478,6 +536,8 @@ def main() -> int:
     }
     if "er_large" in payload:
         out["er_large"] = payload["er_large"]
+    if "ann" in payload:
+        out["ann"] = payload["ann"]
     print(json.dumps(out))
     ray.shutdown()
     return 0

@@ -44,13 +44,27 @@ def _round(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def q_standardize(sf_dir: str):
-    from .textnorm import clean_city, clean_email, clean_name
+    from .textnorm import clean_city, clean_email, clean_name, standardize_table
 
     def fn(b: pa.Table) -> pa.Table:
+        # first/last tokens of the text stand in for the reference's
+        # first_name/last_name source fields (bigquery_utils.py:100-101);
+        # list_slice+binary_join reproduces split_part('s, ' ', k) semantics
+        # ('' when out of range, NULL on NULL input)
+        toks = pc.split_pattern(pc.cast(b["text"], pa.string()), pattern=" ")
+        base = pa.table(
+            {
+                "first_name": pc.binary_join(pc.list_slice(toks, 0, 1), ""),
+                "last_name": pc.binary_join(pc.list_slice(toks, 1, 2), ""),
+            }
+        )
+        s = standardize_table(base, nullify_empty=False)
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "text_clean": clean_name(b["text"]),
+                "first_name_clean": s["first_name_clean"],
+                "last_name_clean": s["last_name_clean"],
                 "source_clean": clean_email(b["source"]),
                 "lang_clean": clean_city(b["lang"]),
             }
@@ -62,6 +76,8 @@ def q_standardize(sf_dir: str):
 SQL_STANDARDIZE = """
 SELECT doc_id,
        trim(upper(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g'))) AS text_clean,
+       trim(upper(split_part(text, ' ', 1))) AS first_name_clean,
+       trim(upper(split_part(text, ' ', 2))) AS last_name_clean,
        lower(trim(source)) AS source_clean,
        trim(upper(lang)) AS lang_clean
 FROM documents
@@ -296,6 +312,111 @@ SELECT a.p_partkey AS partkey1, b.p_partkey AS partkey2,
        round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
 FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) > 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5/O4: capped LLM pair flow — deterministic top-N pairs into the AI
+# surrogate scorer (bigquery_utils.py:496-556: LIMIT 500 candidate batch →
+# AI.GENERATE_TABLE → similarity > 0.4; the reference's LIMIT is ORDER-BY-less
+# and nondeterministic, so the cap here is by pair key, and the remote model
+# is the engine's deterministic surrogate: the 5-way profile's ai-leg shape,
+# scoring.py — 0.5·name_edit + 0.3·addr_edit + 0.2·phone char-jaccard)
+# ---------------------------------------------------------------------------
+
+LLM_PAIR_CAP = 500
+LLM_AI_THRESHOLD = 0.4
+
+
+def q_llm_pair_cap(sf_dir: str):
+    """Scale shape: each block's kernel selects its ≤CAP smallest pair keys
+    BEFORE gathering any string payload, so the global sort+limit sees at
+    most CAP×num_blocks narrow rows and the surrogate scorer runs on exactly
+    CAP pairs — the wide pair set never materializes (the cap is the point:
+    it bounds LLM spend, reference MDM_BATCH_RESULTS.md:358-388)."""
+    from .simfuncs import edit_similarity_batch, ngram_jaccard_batch
+
+    cols = ["c_custkey", "c_mktsegment", "c_nationkey", "c_name", "c_acctbal"]
+    ds = _add_block_key(_read(sf_dir, "customer", columns=cols),
+                        ["c_mktsegment", "c_nationkey"])
+
+    def score(batch, ii, jj):
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        swap = keys[ii] > keys[jj]
+        i1 = np.where(swap, jj, ii)
+        i2 = np.where(swap, ii, jj)
+        order = np.lexsort((keys[i2], keys[i1]))[:LLM_PAIR_CAP]
+        a1 = pa.array(i1[order], pa.int64())
+        a2 = pa.array(i2[order], pa.int64())
+        return pa.table(
+            {
+                "custkey1": batch["c_custkey"].take(a1),
+                "custkey2": batch["c_custkey"].take(a2),
+                "name1": batch["c_name"].take(a1),
+                "name2": batch["c_name"].take(a2),
+                "bal1": batch["c_acctbal"].take(a1),
+                "bal2": batch["c_acctbal"].take(a2),
+            }
+        )
+
+    def empty(batch, *_):
+        s = batch["c_name"].slice(0, 0)
+        d = batch["c_acctbal"].slice(0, 0)
+        return pa.table(
+            {
+                "custkey1": batch["c_custkey"].slice(0, 0),
+                "custkey2": batch["c_custkey"].slice(0, 0),
+                "name1": s, "name2": s, "bal1": d, "bal2": d,
+            }
+        )
+
+    pairs = grouped_kernel(ds, "_bk", _pair_kernel(score, empty))
+    capped = pairs.sort(["custkey1", "custkey2"]).limit(LLM_PAIR_CAP)
+
+    def ai_surrogate(b: pa.Table) -> pa.Table:
+        n1 = b["name1"].to_pylist()
+        n2 = b["name2"].to_pylist()
+        name_sim = edit_similarity_batch(n1, n2)
+        name_jac = ngram_jaccard_batch(n1, n2, 1)
+        bal1 = b["bal1"].to_numpy(zero_copy_only=False)
+        bal2 = b["bal2"].to_numpy(zero_copy_only=False)
+        bal_prox = 1.0 - np.abs(bal1 - bal2) / np.maximum(
+            np.maximum(np.abs(bal1), np.abs(bal2)), 1.0
+        )
+        raw = np.round(0.5 * name_sim + 0.3 * name_jac + 0.2 * bal_prox, 6)
+        ki = np.nonzero(raw > LLM_AI_THRESHOLD)[0]
+        kia = pa.array(ki, pa.int64())
+        return pa.table(
+            {
+                "custkey1": b["custkey1"].take(kia),
+                "custkey2": b["custkey2"].take(kia),
+                "ai_score": pa.array(raw[ki], pa.float64()),
+            }
+        )
+
+    return capped.map_batches(ai_surrogate, batch_format="pyarrow")
+
+
+SQL_LLM_PAIR_CAP = """
+WITH pairs AS (
+  SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2,
+         a.c_name AS name1, b.c_name AS name2,
+         a.c_acctbal AS bal1, b.c_acctbal AS bal2
+  FROM customer a JOIN customer b
+    ON a.c_mktsegment = b.c_mktsegment AND a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+  ORDER BY custkey1, custkey2
+  LIMIT 500
+), scored AS (
+  SELECT custkey1, custkey2,
+         round(0.5 * (1.0 - levenshtein(name1, name2)::DOUBLE /
+                      greatest(length(name1), length(name2)))
+             + 0.3 * jaccard(name1, name2)
+             + 0.2 * (1.0 - abs(bal1 - bal2) /
+                      greatest(abs(bal1), abs(bal2), 1.0)), 6) AS ai_score
+  FROM pairs
+)
+SELECT custkey1, custkey2, ai_score FROM scored WHERE ai_score > 0.4
 """
 
 
@@ -1932,6 +2053,7 @@ QUERIES = {
     "exact_pairs": q_exact_pairs,
     "fuzzy_pairs": q_fuzzy_pairs,
     "jaro_pairs": q_jaro_pairs,
+    "llm_pair_cap": q_llm_pair_cap,
     "vector_pairs": q_vector_pairs,
     "combined_scores": q_combined_scores,
     "cluster_cc": q_cluster_cc,
@@ -1980,6 +2102,7 @@ ORACLES = {
     "exact_pairs": SQL_EXACT_PAIRS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "jaro_pairs": SQL_JARO_PAIRS,
+    "llm_pair_cap": SQL_LLM_PAIR_CAP,
     "vector_pairs": SQL_VECTOR_PAIRS,
     "combined_scores": SQL_COMBINED_SCORES,
     "cluster_cc": SQL_CLUSTER_CC,

@@ -31,6 +31,8 @@ DOCS_SCHEMA = pa.schema(
 # canonical span kind order (FIXTURES.md §1)
 FIELD_KINDS = [
     "full_name",
+    "first_name",
+    "last_name",
     "email",
     "phone",
     "address",
@@ -57,6 +59,8 @@ FEATURES_SCHEMA = pa.schema(
 
 CLEAN_COLUMNS = [
     "full_name_clean",
+    "first_name_clean",
+    "last_name_clean",
     "email_clean",
     "phone_clean",
     "address_clean",

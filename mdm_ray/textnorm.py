@@ -83,6 +83,10 @@ def standardize_table(t: pa.Table, nullify_empty: bool = True) -> pa.Table:
     """
     rules = {
         "full_name": ("full_name_clean", clean_name),
+        # TRIM(UPPER(x)) — bigquery_utils.py:100-101 (no char-class strip,
+        # unlike full_name_clean's :99)
+        "first_name": ("first_name_clean", clean_city),
+        "last_name": ("last_name_clean", clean_city),
         "email": ("email_clean", clean_email),
         "phone": ("phone_clean", clean_phone),
         "address": ("address_clean", clean_address),

@@ -49,6 +49,20 @@ def test_standardize_table_nullify():
     assert out["email_clean"].to_pylist() == ["a@b.c", None]
 
 
+def test_standardize_first_last_name():
+    """TRIM(UPPER(x)) parity — bigquery_utils.py:100-101: unlike
+    full_name_clean, first/last keep non-alpha characters."""
+    t = pa.table(
+        {
+            "first_name": [" mary-jo ", None, ""],
+            "last_name": ["o'neil 3rd", "X", None],
+        }
+    )
+    out = textnorm.standardize_table(t)
+    assert out["first_name_clean"].to_pylist() == ["MARY-JO", None, None]
+    assert out["last_name_clean"].to_pylist() == ["O'NEIL 3RD", "X", None]
+
+
 # ---- phonetic ----------------------------------------------------------------
 
 @pytest.mark.parametrize(
