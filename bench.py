@@ -328,11 +328,15 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=1,
                     help="repetitions per measurement; best kept (variance guard)")
     ap.add_argument("--scale-customers", type=int,
-                    default=int(os.environ.get("GRAFT_SCALE_CUSTOMERS", "60000")),
-                    help="--scaling: ER fixture size. Default 60k (~145k docs, "
-                         "~29M candidate pairs): large enough that per-stage "
+                    default=int(os.environ.get("GRAFT_SCALE_CUSTOMERS", "150000")),
+                    help="--scaling: ER fixture size. Default 150k (~364k docs, "
+                         "~183M candidate pairs): large enough that per-stage "
                          "compute dominates the fixed exchange/driver terms "
-                         "(Amdahl) the way it would at production scale")
+                         "(Amdahl) the way it would at production scale. "
+                         "Recalibrated from 60k in round 4: the bit-parallel "
+                         "scoring kernel cut parallel seconds 3.4x, so 145k-doc "
+                         "arms no longer dominated the ~10-16 s serial core "
+                         "(SCALING_r04.json vs SCALING_r04_large.json)")
     ap.add_argument("--scale-repeat", type=int, default=2,
                     help="--scaling: repetitions per cpu-count invocation; "
                          "best kept (cold-start/host-noise guard). The "
