@@ -259,12 +259,27 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
 
     timings: dict[str, float] = {}
 
-    er = run_er_bench(num_cpus, customers)
+    # ER benches: best of GRAFT_BENCH_ER_REPEAT runs (same variance guard as
+    # --er-only --repeat). Measured 2026-08-18: the SAME binary on the SAME
+    # 145k-doc fixture at 32 cpus spread 45.2 s vs 170.9 s fifteen minutes
+    # apart (3.8x, host weather at full width) — a single draw is
+    # uninterpretable, and the catalog queries below get medians already.
+    er_repeat = int(os.environ.get("GRAFT_BENCH_ER_REPEAT", "2"))
+
+    def best_er(n_customers: int) -> dict:
+        best = run_er_bench(num_cpus, n_customers)
+        for _ in range(er_repeat - 1):
+            again = run_er_bench(num_cpus, n_customers)
+            if again["pairs_per_sec_e2e"] > best["pairs_per_sec_e2e"]:
+                best = again
+        return best
+
+    er = best_er(customers)
     timings["er_pipeline"] = er["seconds"]["total"]
     # scale-headroom config tracked per round (regress-tests the claim that
     # per-pair throughput holds as the fixture grows 3x; the 10x 485k-doc
     # run is available via --large)
-    er_large = run_er_bench(num_cpus, LARGE_CUSTOMERS)
+    er_large = best_er(LARGE_CUSTOMERS)
     timings["er_pipeline_large"] = er_large["seconds"]["total"]
 
     # warm each query family once at the smallest sf (sub-second each):

@@ -251,6 +251,29 @@ def test_escape_salt_namespace():
         assert base == weird and len(ii) == 3
 
 
+def test_exchange_fanout_scales_with_rows():
+    """Pair-exchange fan-out tracks the exploded row count within
+    [1×CPU(≥8), 8×CPU(≥16)] — the round-4 fix for small catalog inputs
+    paying 8×-CPU sort exchanges."""
+    import os
+
+    from mdm_ray.dsutil import EXCHANGE_ROWS_PER_TASK, default_parallelism, exchange_fanout
+
+    cap = default_parallelism(multiplier=8)
+    lo = default_parallelism(multiplier=1, lo=8)
+    assert exchange_fanout(None) == cap          # unknown rows: straggler bound
+    assert exchange_fanout(0) == lo              # empty input: floor
+    assert exchange_fanout(1) == lo
+    # mid-size: ceil(rows / rows_per_task), between the clamps
+    rows = (lo + 3) * EXCHANGE_ROWS_PER_TASK
+    if lo + 3 <= cap:
+        assert exchange_fanout(rows) == lo + 3
+    assert exchange_fanout(10**12) == cap        # huge input: capped
+    # monotone in rows
+    vals = [exchange_fanout(r) for r in (0, 10_000, 100_000, 10**7, 10**12)]
+    assert vals == sorted(vals)
+
+
 # ---- pure-NumPy media codecs (BMP / PPM / WAV) --------------------------------
 
 def test_bmp_roundtrip_odd_width():
