@@ -735,3 +735,42 @@ def test_media_strict_decodes_wav_pipeline(ray_session):
         assert r["n_samples"] == 400 and r["sample_rate"] == 8000
         assert r["duration_ms"] == 400 * 1000.0 / 8000
         assert abs(r["rms"] - float(np.sqrt(np.mean(pcm**2)))) < 1e-9
+
+
+def test_hot_key_census_counts_and_exploded_rows(ray_session):
+    """The census's (hot dict, exploded-row count) invariant: exploded rows =
+    Σ per-doc key-list lengths + the salting re-emission Σ_{s>cap} s·(⌈s/cap⌉−1)
+    over hot keys. This number sizes every pair exchange
+    (``dsutil.exchange_fanout``), so pin it exactly."""
+    import ray.data
+
+    from mdm_ray.blocking import hot_key_census, key_hash
+
+    # key 'h' appears 23 times (hot at cap=8), 'm' 5 times, 'c' twice
+    key_lists = (
+        [["h", "c"], ["h", "m", "c"]]
+        + [["h", "m"]] * 4
+        + [["h"]] * 17
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(key_lists))]),
+            "block_keys": pa.array(key_lists, pa.list_(pa.string())),
+            "key_hashes": pa.array(
+                [sorted(key_hash(k) for k in ks) for ks in key_lists],
+                pa.list_(pa.uint64()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3, shuffle=False)
+    cap = 8
+    hot, exploded = hot_key_census(ds, cap)
+    assert hot == {"h": 23}
+    base = sum(len(ks) for ks in key_lists)
+    resalt = 23 * (-(-23 // cap) - 1)  # 23 rows re-emitted (ceil(23/8)-1)=2 extra times
+    assert exploded == base + resalt
+
+    # floor below cap surfaces mid-size keys without changing the resalt term
+    hot2, exploded2 = hot_key_census(ds, cap, floor=4)
+    assert hot2 == {"h": 23, "m": 5}
+    assert exploded2 == base + resalt
