@@ -352,22 +352,25 @@ def main() -> int:
                          "scoring kernel cut parallel seconds 3.4x, so 145k-doc "
                          "arms no longer dominated the ~10-16 s serial core "
                          "(SCALING_r04.json vs SCALING_r04_large.json)")
-    ap.add_argument("--scale-repeat", type=int, default=2,
+    ap.add_argument("--scale-repeat", type=int, default=1,
                     help="--scaling: repetitions per cpu-count invocation; "
-                         "best kept (cold-start/host-noise guard). The "
-                         "cross-round statistic stays the MEDIAN")
+                         "best kept. Default 1 since the 150k-customer "
+                         "recalibration: arms run 3-12 min and self-average, "
+                         "and the cross-round statistic is the MEDIAN anyway "
+                         "(2 was the guard for the old 60k short arms)")
     ap.add_argument("--rounds", type=int, default=3,
                     help="--scaling: MINIMUM number of interleaved lo/hi "
                          "rounds (all are published)")
     ap.add_argument("--min-qualified", type=int,
-                    default=int(os.environ.get("GRAFT_MIN_QUALIFIED", "5")),
+                    default=int(os.environ.get("GRAFT_MIN_QUALIFIED", "3")),
                     help="--scaling: keep adding rounds until this many "
                          "QUALIFY (round's null-control efficiency >= "
                          "--null-gate), up to --max-rounds. The headline "
                          "number is the qualified-rounds raw efficiency")
     ap.add_argument("--max-rounds", type=int,
-                    default=int(os.environ.get("GRAFT_MAX_ROUNDS", "10")),
-                    help="--scaling: hard cap on total rounds (wall-clock)")
+                    default=int(os.environ.get("GRAFT_MAX_ROUNDS", "6")),
+                    help="--scaling: hard cap on total rounds (wall-clock; "
+                         "~13 min/round at the 150k default fixture)")
     ap.add_argument("--null-gate", type=float, default=0.9,
                     help="--scaling: a round qualifies iff its null-control "
                          "(perfectly-parallel job) efficiency is >= this — "
