@@ -264,22 +264,27 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
     # 145k-doc fixture at 32 cpus spread 45.2 s vs 170.9 s fifteen minutes
     # apart (3.8x, host weather at full width) — a single draw is
     # uninterpretable, and the catalog queries below get medians already.
-    er_repeat = int(os.environ.get("GRAFT_BENCH_ER_REPEAT", "2"))
+    er_repeat = max(1, int(os.environ.get("GRAFT_BENCH_ER_REPEAT", "2")))
+    er_runs: dict[str, list[dict]] = {}
 
-    def best_er(n_customers: int) -> dict:
-        best = run_er_bench(num_cpus, n_customers)
-        for _ in range(er_repeat - 1):
-            again = run_er_bench(num_cpus, n_customers)
-            if again["pairs_per_sec_e2e"] > best["pairs_per_sec_e2e"]:
-                best = again
-        return best
+    def best_er(name: str, n_customers: int) -> dict:
+        # best-of-N is upward-biased by construction (variance guard, see
+        # above); EVERY draw is published in er_runs so the statistic stays
+        # auditable the way query_runs keeps the raw per-round query timings
+        draws = [run_er_bench(num_cpus, n_customers) for _ in range(er_repeat)]
+        er_runs[name] = [
+            {"total_s": d["seconds"]["total"],
+             "pairs_per_sec_e2e": d["pairs_per_sec_e2e"],
+             "stage_seconds": d["seconds"]} for d in draws
+        ]
+        return max(draws, key=lambda d: d["pairs_per_sec_e2e"])
 
-    er = best_er(customers)
+    er = best_er("er_pipeline", customers)
     timings["er_pipeline"] = er["seconds"]["total"]
     # scale-headroom config tracked per round (regress-tests the claim that
     # per-pair throughput holds as the fixture grows 3x; the 10x 485k-doc
     # run is available via --large)
-    er_large = best_er(LARGE_CUSTOMERS)
+    er_large = best_er("er_pipeline_large", LARGE_CUSTOMERS)
     timings["er_pipeline_large"] = er_large["seconds"]["total"]
 
     # warm each query family once at the smallest sf (sub-second each):
@@ -311,7 +316,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
         ("distinct_count", lambda: Q.q_distinct_count(sf_dir).count()),
         ("media_features", lambda: Q.q_media_features(sf_dir).count()),
     ]
-    query_rounds = int(os.environ.get("GRAFT_QUERY_ROUNDS", "3"))
+    query_rounds = max(1, int(os.environ.get("GRAFT_QUERY_ROUNDS", "3")))
     query_runs: dict[str, list[float]] = {name: [] for name, _ in query_specs}
     for _ in range(query_rounds):
         for name, fn in query_specs:
@@ -326,7 +331,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, customers: int = ER_CUSTOMERS) ->
     timings["ann_scale_brute"] = ann["brute_seconds"]
     timings["ann_scale_ivf"] = ann["ivf_query_seconds"]
     return {"er": er, "er_large": er_large, "queries": timings,
-            "query_runs": query_runs, "ann": ann}
+            "query_runs": query_runs, "er_runs": er_runs, "ann": ann}
 
 
 def main() -> int:
@@ -574,6 +579,8 @@ def main() -> int:
         out["ann"] = payload["ann"]
     if "query_runs" in payload:
         out["query_runs"] = payload["query_runs"]
+    if "er_runs" in payload:
+        out["er_runs"] = payload["er_runs"]
     print(json.dumps(out))
     ray.shutdown()
     return 0

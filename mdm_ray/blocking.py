@@ -201,10 +201,11 @@ def hot_key_census(keyed_features_ds, cap: int, floor: int | None = None
        merged on the driver. Candidates ≈ true hot keys + a handful of
        collision false positives, so this pass touches a sliver of the data.
 
-    Driver memory is O(M + hot), not O(distinct keys). At multi-node scale
-    the per-batch sketches (≤ M rows, typically ~distinct-keys-per-batch)
-    would feed a tree reduce instead of the driver loop; the candidate mask
-    ships to pass 2 once via ``ray.put``.
+    Driver memory is O(M + hot), not O(distinct keys). Both merges run as a
+    fan-in TREE of Ray tasks (``_tree_reduce``, fan-in 64): the driver only
+    ever merges the final ≤ 64 partials, never one part per block — at
+    10⁵–10⁶ blocks the reduce is 2–3 task levels deep instead of a driver
+    loop. The candidate mask ships to pass 2 once via ``ray.put``.
 
     Both passes run as RAW Ray tasks over the input's materialized block
     refs (the input is materialized first if it isn't already): a Dataset
@@ -222,8 +223,6 @@ def hot_key_census(keyed_features_ds, cap: int, floor: int | None = None
     the sketch pass; sizes the pair exchange (``dsutil.exchange_fanout``)."""
     import ray
 
-    from collections import Counter
-
     from .dsutil import block_refs
 
     M = _CENSUS_BUCKETS
@@ -233,9 +232,12 @@ def hot_key_census(keyed_features_ds, cap: int, floor: int | None = None
     refs = block_refs(keyed_features_ds)
 
     sketch_task = ray.remote(_census_sketch_block)
+    nz, cnt = _tree_reduce(
+        [sketch_task.remote(r) for r in refs],
+        ray.remote(_merge_sketches), _merge_sketches,
+    )
     total = np.zeros(M, np.int64)
-    for nz, cnt in ray.get([sketch_task.remote(r) for r in refs]):
-        total[nz] += cnt
+    total[nz] = cnt
     base_rows = int(total.sum())
     mask = total > floor
     if not mask.any():
@@ -243,13 +245,53 @@ def hot_key_census(keyed_features_ds, cap: int, floor: int | None = None
     mask_ref = ray.put(mask)
 
     exact_task = ray.remote(_census_exact_block)
-    merged: Counter = Counter()
-    for keys, cnts in ray.get([exact_task.remote(r, mask_ref) for r in refs]):
-        for k, n in zip(keys, cnts):
-            merged[k] += n
-    hot = {k: n for k, n in merged.items() if n > floor}
+    keys, cnts = _tree_reduce(
+        [exact_task.remote(r, mask_ref) for r in refs],
+        ray.remote(_merge_exact), _merge_exact,
+    )
+    hot = {k: n for k, n in zip(keys, cnts) if n > floor}
     resalt = sum(s * (-(-s // cap) - 1) for s in hot.values() if s > cap)
     return hot, base_rows + resalt
+
+
+_TREE_REDUCE_FANIN = 64
+
+
+def _tree_reduce(part_refs: list, merge_task, merge_local,
+                 fanin: int = _TREE_REDUCE_FANIN):
+    """Fan-in tree reduce over task-output refs: while more than ``fanin``
+    parts remain, merge each group of ``fanin`` in a Ray task; the driver
+    merges only the final ≤ ``fanin`` partials locally. Bounded driver work
+    at any block count (10⁶ blocks ⇒ 3 task levels, never a driver loop)."""
+    import ray
+
+    parts = list(part_refs)
+    while len(parts) > fanin:
+        parts = [
+            merge_task.remote(*parts[i:i + fanin])
+            for i in range(0, len(parts), fanin)
+        ]
+    return merge_local(*ray.get(parts))
+
+
+def _merge_sketches(*parts) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (nonzero-buckets, counts) sketch partials into one sparse pair."""
+    total = np.zeros(_CENSUS_BUCKETS, np.int64)
+    for nz, cnt in parts:
+        total[nz] += cnt
+    nz = np.flatnonzero(total)
+    return nz.astype(np.int64), total[nz]
+
+
+def _merge_exact(*parts) -> tuple[list, list]:
+    """Merge (keys, counts) exact-recount partials into one pair."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for keys, cnts in parts:
+        for k, n in zip(keys, cnts):
+            c[k] += n
+    return list(c.keys()), list(c.values())
 
 
 def _census_sketch_block(block: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -29,24 +29,35 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _topk_merge_kernel(k: int):
     def kernel(batch: pa.Table, starts, stops) -> pa.Table:
-        qids = np.asarray(batch["query_id"].to_pylist(), dtype=object)
-        nids = batch["neighbor_id"].to_pylist()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "query_id": batch["query_id"].slice(0, 0),
+                    "neighbor_id": batch["neighbor_id"].slice(0, 0),
+                    "similarity": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
         sims = batch["similarity"].to_numpy(zero_copy_only=False)
-        oq, on, osim, orank = [], [], [], []
-        for s, e in zip(starts, stops):
-            seg = slice(s, e)
-            # deterministic: sim desc, neighbor_id asc
-            order = sorted(
-                range(s, e), key=lambda i: (-sims[i], nids[i])
-            )[:k]
-            for r, i in enumerate(order, 1):
-                oq.append(qids[i]); on.append(nids[i]); osim.append(float(sims[i])); orank.append(r)
+        # rank-encode neighbor ids (string or int) so the lexsort tie-break
+        # compares int64 ranks, not Python objects per comparison
+        nids = np.asarray(batch["neighbor_id"].to_pylist(), dtype=object)
+        _, nrank = np.unique(nids, return_inverse=True)
+        counts = stops - starts
+        gid = np.repeat(np.arange(len(starts)), counts)
+        # deterministic: per group, sim desc then neighbor_id asc; gid is the
+        # primary key so segments stay contiguous with unchanged boundaries
+        order = np.lexsort((nrank, -sims, gid))
+        pos_in_group = np.arange(n) - np.repeat(starts, counts)
+        keep = pos_in_group < k
+        t = batch.take(pa.array(order[keep], pa.int64()))
         return pa.table(
             {
-                "query_id": pa.array(oq) if oq else batch["query_id"].slice(0, 0),
-                "neighbor_id": pa.array(on) if on else batch["neighbor_id"].slice(0, 0),
-                "similarity": pa.array(osim, pa.float64()),
-                "rank": pa.array(orank, pa.int64()),
+                "query_id": t["query_id"],
+                "neighbor_id": t["neighbor_id"],
+                "similarity": t["similarity"].combine_chunks().cast(pa.float64()),
+                "rank": pa.array(pos_in_group[keep] + 1, pa.int64()),
             }
         )
 
@@ -71,29 +82,30 @@ def ann_bruteforce(ds, queries: pa.Table, k: int = 5, id_col: str = "vec_id",
 
     def block_topk(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(broadcast)
-        ids = batch[id_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
         mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
         sims = qmat @ mat.T  # [Q, B]
-        oq, on, osim = [], [], []
-        kk = min(k, sims.shape[1])
-        for qi in range(len(qids)):
-            row = sims[qi]
-            if not include_self:
-                for bi, nid in enumerate(ids):
-                    if nid == qids[qi]:
-                        row = row.copy()
-                        row[bi] = -np.inf
-            # per-block partial top-k
-            part = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
-            for bi in part:
-                if row[bi] == -np.inf:
-                    continue
-                oq.append(qids[qi]); on.append(ids[bi]); osim.append(float(row[bi]))
+        qid_arr = np.asarray(qids, dtype=object)
+        if not include_self:
+            # one broadcast object-equality mask, same pattern as ann_ivf_query
+            sims = np.where(ids[None, :] == qid_arr[:, None], -np.inf, sims)
+        Q, B = sims.shape
+        kk = min(k, B)
+        if kk < B:
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        else:
+            top = np.broadcast_to(np.arange(B), (Q, B))
+        rows = np.repeat(np.arange(Q), top.shape[1])
+        cols = top.ravel()
+        vals = sims[rows, cols]
+        keep = vals != -np.inf
         return pa.table(
             {
-                "query_id": pa.array(oq) if oq else batch[id_col].slice(0, 0),
-                "neighbor_id": pa.array(on) if on else batch[id_col].slice(0, 0),
-                "similarity": pa.array(osim, pa.float64()),
+                "query_id": pa.array(qid_arr[rows[keep]].tolist())
+                if keep.any() else batch[id_col].slice(0, 0),
+                "neighbor_id": pa.array(ids[cols[keep]].tolist())
+                if keep.any() else batch[id_col].slice(0, 0),
+                "similarity": pa.array(vals[keep], pa.float64()),
             }
         )
 
@@ -120,11 +132,35 @@ def train_centroids(sample: np.ndarray, num_centroids: int, iters: int = 10,
     return cents
 
 
+def _bucket_counts_block(block: pa.Table, k: int) -> np.ndarray:
+    if block.num_rows == 0 or "_bucket" not in block.column_names:
+        return np.zeros(k, np.int64)
+    return np.bincount(
+        block["_bucket"].to_numpy(zero_copy_only=False), minlength=k
+    ).astype(np.int64)
+
+
+def _sum_counts(*parts) -> np.ndarray:
+    return np.sum(parts, axis=0)
+
+
 def build_ivf_index(ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                    num_centroids: int = 16, train_sample: int = 2048):
+                    num_centroids: int = 16, train_sample: int = 2048,
+                    max_bucket_rows: int | None = None):
     """Build an IVF index: train a coarse quantizer on a sample, assign every
     vector to its nearest centroid, and hash-partition the dataset by bucket
-    so each inverted list lands whole in one block (``_bucket`` column).
+    so each inverted list co-locates (``_bucket`` column).
+
+    Skew guard: real corpora produce hot centroids (a hot bucket's whole
+    inverted list would land in ONE block — one straggler task per probing
+    query). After assignment a raw-task bincount (tree-reduced, same
+    ``_tree_reduce`` as the blocking census) counts each bucket exactly; any
+    bucket over ``max_bucket_rows`` (default 4× the mean bucket size, floor
+    2048) is split into ``ceil(count/cap)`` deterministic hash-shards and the
+    sort key becomes ``bucket·S + shard`` — shards of one bucket land in
+    different blocks. Queries are unchanged and exact: ``ann_ivf_query``
+    kernels process whatever portion of a probed bucket is resident in their
+    block and the per-query top-k merge combines the partials.
 
     Returns ``(index_ds, centroids)`` — ``index_ds`` is MATERIALIZED (the
     one-time build cost); queries then read only their ``nprobe`` probed
@@ -134,7 +170,8 @@ def build_ivf_index(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     vector index, ``streaming_mdm_gcp/spanner_utils.py:544-583``)."""
     import ray
 
-    from .dsutil import exchange_fanout
+    from .blocking import _tree_reduce
+    from .dsutil import _part_codes, block_refs, exchange_fanout
 
     sample_rows = ds.select_columns([vec_col]).limit(train_sample).take_all()
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
@@ -149,12 +186,40 @@ def build_ivf_index(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
     work = ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow"
+    ).materialize()
+    counts_task = ray.remote(_bucket_counts_block)
+    counts = _tree_reduce(
+        [counts_task.remote(r, len(cents)) for r in block_refs(work)],
+        ray.remote(_sum_counts), _sum_counts,
     )
-    # co-locate each bucket's inverted list: cheap int sort on the bucket id
-    # (equal values land in one block — dsutil.hash_partition_by's guarantee)
-    n = min(exchange_fanout(None), num_centroids)
+    total = int(counts.sum())
+    if max_bucket_rows is None:
+        max_bucket_rows = max(2048, 4 * total // max(1, len(cents)))
+    shards = np.maximum(1, -(-counts // max(1, max_bucket_rows)))
+    S = int(shards.max()) if len(shards) else 1
+    if S > 1:
+        shards_ref = ray.put(shards)
+
+        def shard(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "_bucket" not in batch.column_names:
+                return batch
+            b = batch["_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sh = ray.get(shards_ref)[b]
+            h = _part_codes(batch[id_col], 1 << 30).astype(np.int64)
+            return batch.append_column(
+                "_bshard", pa.array(b * S + (h % sh), pa.int64())
+            )
+
+        work = work.map_batches(shard, batch_format="pyarrow")
+        sort_key, groups = "_bshard", int(shards.sum())
+    else:
+        sort_key, groups = "_bucket", len(cents)
+    # co-locate each (possibly sharded) inverted list: cheap int sort —
+    # equal values land in one block; sorting by bucket·S+shard keeps equal
+    # buckets contiguous, so the query kernel's group scan is unchanged
+    n = max(1, min(exchange_fanout(total), groups))
     index_ds = (
-        work.repartition(n, shuffle=False).sort("_bucket").materialize()
+        work.repartition(n, shuffle=False).sort(sort_key).materialize()
     )
     return index_ds, cents
 

@@ -155,6 +155,79 @@ def test_ann_ivf_recall(vec_ds):
     assert recall >= 0.6, recall
 
 
+def test_ann_ivf_skewed_bucket_split(ray_session):
+    """A hot centroid's inverted list must split across blocks (skew guard)
+    without changing results: with nprobe = num_centroids the IVF answer is
+    EXACT, so it must equal brute force even when the split path runs."""
+    import ray.data
+
+    from mdm_ray.similarity import ann_ivf_query, build_ivf_index
+
+    rng = np.random.default_rng(3)
+    # 90% of vectors in one tight cluster -> one hot centroid
+    hot = rng.normal(0, 0.01, (900, 8)) + np.array([5.0] * 8)
+    cold = rng.normal(0, 1.0, (100, 8))
+    mat = np.concatenate([hot, cold]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(mat))), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8, shuffle=False)
+    queries = tbl.slice(0, 4)
+    # force the split: cap far below the hot bucket's ~900 rows
+    index_ds, cents = build_ivf_index(
+        ds, num_centroids=4, max_bucket_rows=100
+    )
+    assert "_bshard" in index_ds.schema().names  # split path exercised
+    shard_count = len(set(
+        r["_bshard"] for r in index_ds.select_columns(["_bshard"]).take_all()
+    ))
+    assert shard_count > 4, shard_count  # hot bucket really sharded
+    exact = ann_bruteforce(ds, queries, k=5).take_all()
+    approx = ann_ivf_query(index_ds, cents, queries, k=5, nprobe=4).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert (
+        [(r["query_id"], r["neighbor_id"]) for r in sorted(approx, key=key)]
+        == [(r["query_id"], r["neighbor_id"]) for r in sorted(exact, key=key)]
+    )
+
+
+def test_census_tree_reduce_equivalence(ray_session):
+    """The fan-in tree reduce must equal a flat driver merge, at a fan-in
+    small enough to force >= 2 tree levels."""
+    import ray
+
+    from mdm_ray.blocking import _merge_exact, _merge_sketches, _tree_reduce
+
+    rng = np.random.default_rng(0)
+    sketch_parts = []
+    for _ in range(19):  # 19 parts at fanin=4 -> levels of 5, 2, driver
+        nz = np.unique(rng.integers(0, 1 << 20, 40))
+        cnt = rng.integers(1, 9, len(nz)).astype(np.int64)
+        sketch_parts.append((nz.astype(np.int64), cnt))
+    flat_nz, flat_cnt = _merge_sketches(*sketch_parts)
+    tree_nz, tree_cnt = _tree_reduce(
+        [ray.put(p) for p in sketch_parts],
+        ray.remote(_merge_sketches), _merge_sketches, fanin=4,
+    )
+    assert np.array_equal(flat_nz, tree_nz) and np.array_equal(flat_cnt, tree_cnt)
+
+    exact_parts = [
+        (["a", "b"], [1, 2]), (["b", "c"], [3, 4]), (["a"], [5]),
+        (["d"], [1]), (["c", "d"], [2, 2]), (["e"], [7]), (["a", "e"], [1, 1]),
+    ]
+    flat = dict(zip(*_merge_exact(*exact_parts)))
+    tk, tc = _tree_reduce(
+        [ray.put(p) for p in exact_parts],
+        ray.remote(_merge_exact), _merge_exact, fanin=3,
+    )
+    assert dict(zip(tk, tc)) == flat == {
+        "a": 7, "b": 5, "c": 6, "d": 3, "e": 8
+    }
+
+
 # ---- textstats ---------------------------------------------------------------
 
 def test_token_count():

@@ -1,7 +1,7 @@
 """Sustained host-ceiling probe: w concurrent pure-numpy matmul workers for
 DURATION seconds, no Ray, no shared state. Throughput = total iterations/s.
 Interleaved widths 4,16,4,16 to control drift."""
-import json, multiprocessing as mp, os, sys, time
+import json, multiprocessing as mp, sys, time
 
 DURATION = 30.0
 
@@ -19,9 +19,12 @@ def leg(w):
     ps = [mp.Process(target=worker, args=(q,)) for _ in range(w)]
     t0 = time.time()
     for p in ps: p.start()
-    for p in ps: p.join()
-    wall = time.time() - t0
+    # drain BEFORE join: each q.get() returns only after its worker finished
+    # its timed loop, so the wall measurement is unchanged, and join can never
+    # deadlock on a full pipe buffer (the classic join-before-get hazard)
     total = sum(q.get() for _ in ps)
+    wall = time.time() - t0
+    for p in ps: p.join()
     return total / wall
 
 if __name__ == "__main__":
