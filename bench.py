@@ -84,7 +84,9 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     # materialize the tiny generated fixture so the featurize chain fans out
     # over real-sized blocks instead of bundling the ~KB range inputs
     docs = synth.generate_documents_ray(customers, parallelism=num_cpus * 2).materialize()
-    feats = pipeline.build_features(docs, cfg).materialize()
+    # featurize with the census sketch overlapping the materialize barrier —
+    # the same fused path run_er executes (pipeline.featurize_and_census)
+    feats, census, blocked_rows = pipeline.featurize_and_census(docs, cfg)
     n_docs = feats.count()
     t_feat = time.time()
     # block → pair → score in ONE streaming execution — the PRODUCTION path
@@ -92,23 +94,20 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
     # executes): the wide pair table is never materialized; every candidate
     # pair is evaluated (bound test or full kernels — output-identical to
     # full scoring, see test_retain_prefilter_output_identical)
-    from mdm_ray.blocking import hot_key_census
     from mdm_ray.pairs import build_scored
 
-    census, blocked_rows = hot_key_census(
-        feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4)
-    )
     scored = build_scored(
         build_blocked(feats, cfg, census=census), cfg, census=census,
         rows=blocked_rows,
     ).materialize()
     retained = scored.count()
     t_score = time.time()
-    from mdm_ray.cluster import build_edges, connected_components, init_labels
-    from mdm_ray.survivorship import build_golden
-
-    labels = connected_components(build_edges(scored), init_labels(feats), cfg)
-    golden = build_golden(feats, labels, num_partitions=cfg.cc_num_partitions).materialize()
+    # cluster+survive via the driver-CC fast path when the thresholded edge
+    # set fits (raw-task edge extract + numpy fixpoint + broadcast into the
+    # survivorship execution), distributed fixpoint otherwise — run_er's path
+    labels, golden = pipeline.cluster_and_survive(feats, scored, cfg)
+    t_cc = time.time()
+    golden = golden.materialize()
     clusters = golden.count()
     t_end = time.time()
     wall = t_end - t0
@@ -147,6 +146,7 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
             "featurize": round(t_feat - t0, 2),
             "block_pair_score": round(t_score - t_feat, 2),
             "cluster_and_survive": round(t_end - t_score, 2),
+            "cc_serial": round(t_cc - t_score, 2),
             "total": round(wall, 2),
         },
         "docs_per_sec": round(n_docs / wall, 1),

@@ -225,17 +225,48 @@ def hot_key_census(keyed_features_ds, cap: int, floor: int | None = None
 
     from .dsutil import block_refs
 
+    keyed_features_ds = keyed_features_ds.materialize()
+    refs = block_refs(keyed_features_ds)
+    sketch_task = ray.remote(_census_sketch_block)
+    sketch_refs = [sketch_task.remote(r) for r in refs]
+    return _census_finish(refs, sketch_refs, cap, floor)
+
+
+def materialize_with_census(keyed_features_ds, cap: int, floor: int | None = None):
+    """Materialize a (lazy) keyed-features Dataset while running the census
+    SKETCH pass concurrently with the materialize: blocks are consumed via
+    ``iter_internal_ref_bundles`` as the streaming executor produces them,
+    and each block's sketch task launches the moment the block lands — the
+    census pass overlaps the featurize barrier tail instead of following it.
+
+    Returns ``(features_mat, hot, exploded_rows)`` where ``features_mat`` is
+    a zero-copy Dataset over the landed block refs (the same blocks a
+    ``materialize()`` would hold)."""
+    import ray
+    import ray.data
+
+    sketch_task = ray.remote(_census_sketch_block)
+    refs: list = []
+    sketch_refs: list = []
+    for bundle in keyed_features_ds.iter_internal_ref_bundles():
+        for ref, _meta in bundle.blocks:
+            refs.append(ref)
+            sketch_refs.append(sketch_task.remote(ref))
+    feats_mat = ray.data.from_arrow_refs(refs)
+    hot, rows = _census_finish(refs, sketch_refs, cap, floor)
+    return feats_mat, hot, rows
+
+
+def _census_finish(refs: list, sketch_refs: list, cap: int,
+                   floor: int | None) -> tuple[dict[str, int], int]:
+    """Shared census tail: tree-merge the sketches, then the exact recount
+    over candidate buckets (see ``hot_key_census``)."""
+    import ray
+
     M = _CENSUS_BUCKETS
     if floor is None:
         floor = cap
-    keyed_features_ds = keyed_features_ds.materialize()
-    refs = block_refs(keyed_features_ds)
-
-    sketch_task = ray.remote(_census_sketch_block)
-    nz, cnt = _tree_reduce(
-        [sketch_task.remote(r) for r in refs],
-        ray.remote(_merge_sketches), _merge_sketches,
-    )
+    nz, cnt = _tree_reduce(sketch_refs, ray.remote(_merge_sketches), _merge_sketches)
     total = np.zeros(M, np.int64)
     total[nz] = cnt
     base_rows = int(total.sum())

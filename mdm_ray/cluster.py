@@ -26,15 +26,19 @@ from . import config as C
 from .config import EngineConfig, DEFAULT_CONFIG
 
 
+def _edge_mask(batch: pa.Table):
+    """Edge predicate over scored pairs (bigquery_utils.py:645-653)."""
+    return pc.and_(
+        pc.is_in(batch["match_decision"], value_set=pa.array(["auto_merge", "human_review"])),
+        pc.greater_equal(batch["combined_score"], C.CLUSTER_EDGE_THRESHOLD),
+    )
+
+
 def build_edges(scored_ds):
     """Bidirectional edge list from scored pairs (bigquery_utils.py:645-660)."""
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.is_in(batch["match_decision"], value_set=pa.array(["auto_merge", "human_review"])),
-            pc.greater_equal(batch["combined_score"], C.CLUSTER_EDGE_THRESHOLD),
-        )
-        kept = batch.filter(mask)
+        kept = batch.filter(_edge_mask(batch))
         return pa.table(
             {
                 "src": pa.concat_arrays(
@@ -174,6 +178,118 @@ def _strip_block(block: pa.Table) -> tuple[pa.Table, int, pa.Table]:
     return out, changed.num_rows, changed
 
 
+def _scored_edges_block(block: pa.Table) -> tuple[int, pa.Table]:
+    """Raw-task twin of ``build_edges`` over one scored block, emitting each
+    edge ONCE (directed) — ``driver_cc`` propagates both ways anyway."""
+    if block.num_rows == 0 or "doc1_id" not in block.column_names:
+        return 0, pa.table({})
+    kept = block.filter(_edge_mask(block))
+    t = pa.table({"src": kept["doc1_id"], "dst": kept["doc2_id"]})
+    return t.num_rows, t
+
+
+def edge_map_from_scored(scored_mat, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Thresholded edges → sparse non-identity (node, label) map, entirely as
+    raw tasks over the MATERIALIZED scored Dataset's block refs + one driver
+    numpy fixpoint (``driver_cc``) — no Dataset execution at all (each one
+    costs ~0.4-0.5 s of executor startup; this was the largest slice of the
+    cluster stage's serial core). Counts come back first; edge tables are
+    fetched only under ``cfg.cc_driver_edge_cap``. Returns ``None`` when the
+    edge set exceeds the cap — callers fall back to ``build_edges`` +
+    ``connected_components`` (the distributed fixpoint)."""
+    import ray
+
+    from .dsutil import block_refs
+
+    task = ray.remote(num_returns=2)(_scored_edges_block)
+    outs = [task.remote(r) for r in block_refs(scored_mat)]
+    counts = ray.get([o[0] for o in outs])
+    if sum(counts) > cfg.cc_driver_edge_cap:
+        return None
+    tabs = ray.get([o[1] for o, c in zip(outs, counts) if c > 0])
+    if not tabs:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+        )
+    return driver_cc(pa.concat_tables(tabs, promote_options="default"))
+
+
+def driver_cc(edge_tab: pa.Table) -> pa.Table:
+    """Min-label connected components of one (src, dst) edge table, computed
+    driver-side with vectorized numpy (edge-relax ``np.minimum.at`` +
+    pointer-jumping, O(E) per round, O(log n) rounds). Edges may be directed
+    or bidirectional — propagation runs both ways. Node type is anything
+    Arrow can dictionary-encode (string or int); the label order is VALUE
+    order (rank-encoded like ``_min_label_block``), so the result matches the
+    distributed fixpoint exactly.
+
+    Returns only the NON-IDENTITY rows (node, label) with label != node —
+    every other node is its own singleton/minimum, so the sparse map bounds
+    the broadcast at (non-minimum member count) rows."""
+    import numpy as np
+
+    if edge_tab.num_rows == 0:
+        t = edge_tab
+        src_t = t.schema.field("src").type if "src" in t.column_names else pa.string()
+        return pa.table({"node": pa.array([], src_t), "label": pa.array([], src_t)})
+    src = edge_tab["src"].combine_chunks()
+    dst = edge_tab["dst"].combine_chunks()
+    enc = pc.dictionary_encode(pa.concat_arrays([src, dst]))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    sort_idx = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = np.empty(len(sort_idx), np.int64)
+    ranks[sort_idx] = np.arange(len(sort_idx))
+    r = ranks[codes]
+    E = len(src)
+    ui, vi = r[:E], r[E:]
+    lab = np.arange(len(sort_idx), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ui, lab[vi])
+        np.minimum.at(new, vi, lab[ui])
+        while True:  # pointer jumping: label of my label
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    changed = np.flatnonzero(lab != np.arange(len(lab)))
+    take_nodes = pa.array(sort_idx[changed], pa.int64())
+    take_labels = pa.array(sort_idx[lab[changed]], pa.int64())
+    return pa.table(
+        {"node": dictionary.take(take_nodes), "label": dictionary.take(take_labels)}
+    )
+
+
+def apply_label_map(labels_ds, label_map: pa.Table):
+    """Lazy broadcast apply of a sparse (node, label) override map onto a
+    seed label Dataset: hits take the mapped label, misses keep their own."""
+    import ray
+
+    mref = ray.put(
+        (label_map["node"].combine_chunks(), label_map["label"].combine_chunks())
+    )
+
+    def apply(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return b
+        nodes, labs = ray.get(mref)
+        idx = pc.index_in(b["node"], value_set=nodes)
+        lab = pc.if_else(
+            pc.is_valid(idx),
+            labs.take(pc.fill_null(idx, 0)),
+            b["label"].combine_chunks(),
+        )
+        return pa.table({"node": b["node"], "label": lab})
+
+    return labels_ds.select_columns(["node", "label"]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
 def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG,
                          labels_are_seed: bool = True):
     """Iterate min-label propagation to fixpoint.
@@ -203,8 +319,28 @@ def connected_components(edges_ds, labels_ds, cfg: EngineConfig = DEFAULT_CONFIG
     import ray.data
 
     edges = edges_ds.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return labels_ds.select_columns(["node", "label"])
+    if labels_are_seed and n_edges <= cfg.cc_driver_edge_cap:
+        # Small-graph fast path (see cfg.cc_driver_edge_cap): collect the
+        # thresholded edges, run the same min-label fixpoint driver-side in
+        # numpy, and return a LAZY broadcast apply over the seed labels —
+        # zero Dataset executions here; the one cheap map fuses into
+        # whatever consumes the labels (survivorship join, resolve, write).
+        # Seed-only: with warm-start labels the component minimum is over
+        # INITIAL labels, which live distributed — that stays on the
+        # iterative path below.
+        etabs = [
+            t for t in ray.get(_block_refs(edges))
+            if t.num_rows and "src" in t.column_names
+        ]
+        emap = driver_cc(
+            pa.concat_tables(etabs, promote_options="default")
+        )
+        if emap.num_rows == 0:
+            return labels_ds.select_columns(["node", "label"])
+        return apply_label_map(labels_ds, emap)
     keepalive = [edges]  # hold materialized datasets so block refs stay valid
     edge_refs = _block_refs(edges)
     labels_mat = labels_ds.materialize()

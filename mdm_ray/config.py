@@ -106,6 +106,16 @@ class EngineConfig:
     # exchange rides the broadcast path; each costs ~0.5 s instead of a
     # multi-second shuffle round.
     cc_frontier_broadcast_cap: int = 500_000
+    # Small-graph fast path (the broadcast-join analogue for clustering):
+    # when the THRESHOLDED edge set fits under this cap, collect it to the
+    # driver (Arrow blocks, dictionary-encoded — ~40 MB at the cap) and run
+    # the min-label fixpoint as vectorized numpy pointer-jumping, then
+    # broadcast the sparse non-identity (node, label) map back. Exact same
+    # fixpoint, zero Dataset iterations. ER edge sets after the 0.6
+    # threshold are ~1% of candidate pairs, so even the 485k-doc / 320M-pair
+    # fixture stays under the cap; true 10^12-doc scale exceeds it and takes
+    # the distributed delta-iteration path.
+    cc_driver_edge_cap: int = 5_000_000
 
     def __post_init__(self) -> None:
         if self.weight_profile == "5way":

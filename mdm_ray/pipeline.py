@@ -38,24 +38,56 @@ def build_features(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings:
     return attach_block_keys(feats, cfg)
 
 
+def featurize_and_census(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG,
+                         with_embeddings: bool = True):
+    """Featurize with the hot-key census SKETCH pass overlapping the
+    materialize barrier (``blocking.materialize_with_census``): each feature
+    block's sketch task launches as the block lands. One census serves
+    salting (keys > cap), work-balanced exchange placement (keys > cap/4 get
+    LPT partition assignments in ``build_scored``), and the exploded-row
+    count that sizes the pair-exchange fan-out."""
+    feats_lazy = build_features(docs_ds, cfg, with_embeddings)
+    from .blocking import materialize_with_census
+
+    return materialize_with_census(
+        feats_lazy, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4)
+    )
+
+
+def cluster_and_survive(feats, scored_mat, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Materialized scored pairs → (labels, golden).
+
+    Fast path (edge set ≤ ``cfg.cc_driver_edge_cap``): edges extract as raw
+    tasks over the scored block refs, the min-label fixpoint runs driver-side
+    (``cluster.driver_cc``), and the sparse label map broadcasts straight
+    into survivorship — the whole cluster stage costs ZERO extra Dataset
+    executions (labels stays lazy; golden is one execution). Over the cap the
+    distributed delta-iteration fixpoint runs unchanged."""
+    from .cluster import apply_label_map, edge_map_from_scored
+
+    emap = edge_map_from_scored(scored_mat, cfg)
+    if emap is not None:
+        labels = apply_label_map(init_labels(feats), emap)
+        golden = build_golden(
+            feats, num_partitions=cfg.cc_num_partitions, label_map=emap
+        )
+    else:
+        labels = connected_components(
+            build_edges(scored_mat), init_labels(feats), cfg
+        )
+        golden = build_golden(feats, labels, num_partitions=cfg.cc_num_partitions)
+    return labels, golden
+
+
 def run_er(docs_ds, cfg: EngineConfig = DEFAULT_CONFIG, with_embeddings: bool = True):
     """Full pipeline; returns dict of the key stage Datasets (lazy where
     possible — scored/golden are consumed by the caller)."""
-    from .blocking import hot_key_census
     from .pairs import build_scored
 
-    feats = build_features(docs_ds, cfg, with_embeddings).materialize()
-    # one census serves salting (keys > cap), work-balanced exchange placement
-    # (keys > cap/4 get LPT partition assignments in build_scored), and the
-    # exploded-row count that sizes the pair-exchange fan-out
-    census, blocked_rows = hot_key_census(
-        feats, cfg.max_block_size, floor=max(2, cfg.max_block_size // 4)
-    )
+    feats, census, blocked_rows = featurize_and_census(docs_ds, cfg, with_embeddings)
     blocked = build_blocked(feats, cfg, census=census)
     scored = build_scored(blocked, cfg, census=census, rows=blocked_rows).materialize()
-    edges = build_edges(scored)
-    labels = connected_components(edges, init_labels(feats), cfg)
-    golden = build_golden(feats, labels, num_partitions=cfg.cc_num_partitions)
+    labels, golden = cluster_and_survive(feats, scored, cfg)
     return {
         "features": feats,
         "scored": scored,

@@ -175,8 +175,14 @@ def empty_golden_table() -> pa.Table:
     return pa.table({n: pa.array([], t) for n, t in fields})
 
 
-def build_golden(features_ds, labels_ds, num_partitions: int = 16):
-    """features ⋈ labels → groupby(cluster).aggregate → golden records."""
+def build_golden(features_ds, labels_ds=None, num_partitions: int = 16,
+                 label_map: pa.Table | None = None):
+    """features ⋈ labels → groupby(cluster).aggregate → golden records.
+
+    ``label_map``: optional SPARSE non-identity (node, label) override table
+    (``cluster.edge_map_from_scored`` / ``driver_cc`` output) — every doc not
+    in the map is its own singleton cluster. Broadcast once; no labels
+    Dataset is needed or executed at all."""
     import ray.data
 
     if features_ds.schema() is None:  # empty input
@@ -186,39 +192,59 @@ def build_golden(features_ds, labels_ds, num_partitions: int = 16):
     features_ds = features_ds.select_columns(cols)
     from .dsutil import copartition_join
 
-    # Size-adaptive join (the classic broadcast-hash vs shuffle-join switch):
-    # the label table is one (node, label) row per doc — when it fits the
-    # broadcast cap (~500k rows ≈ 50 MB), ship it once via ray.put and attach
-    # labels with a vectorized index_in per features block, saving the whole
-    # doc_id exchange. Beyond the cap (production scale) take the
-    # co-partitioned join.
-    labels_mat = labels_ds.materialize()
-    if labels_mat.count() <= 500_000:
+    if label_map is not None:
         import ray
+        import pyarrow.compute as pc
 
-        from .cluster import _block_refs
+        lref = ray.put(
+            (label_map["node"].combine_chunks(), label_map["label"].combine_chunks())
+        )
 
-        ltab = pa.concat_tables(
-            [t for t in ray.get(_block_refs(labels_mat)) if t.num_rows],
-            promote_options="default",
-        ).combine_chunks()
-        lref = ray.put((ltab["node"], ltab["label"]))
-
-        def attach_label(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
+        def attach_sparse(b: pa.Table) -> pa.Table:
             nodes, labs = ray.get(lref)
             idx = pc.index_in(b["doc_id"], value_set=nodes)
-            hit = pc.is_valid(idx)
-            lab = labs.take(pc.fill_null(idx, 0))
-            return b.append_column("label", lab).filter(hit)
+            lab = pc.if_else(
+                pc.is_valid(idx),
+                labs.take(pc.fill_null(idx, 0)),
+                b["doc_id"].combine_chunks(),
+            )
+            return b.append_column("label", lab)
 
-        joined = features_ds.map_batches(attach_label, batch_format="pyarrow")
+        joined = features_ds.map_batches(attach_sparse, batch_format="pyarrow")
     else:
-        joined = copartition_join(
-            features_ds, labels_mat, on="doc_id", right_on="node",
-            n=num_partitions,
-        )
+        # Size-adaptive join (the classic broadcast-hash vs shuffle-join
+        # switch): the label table is one (node, label) row per doc — when it
+        # fits the broadcast cap (~500k rows ≈ 50 MB), ship it once via
+        # ray.put and attach labels with a vectorized index_in per features
+        # block, saving the whole doc_id exchange. Beyond the cap (production
+        # scale) take the co-partitioned join.
+        labels_mat = labels_ds.materialize()
+        if labels_mat.count() <= 500_000:
+            import ray
+
+            from .cluster import _block_refs
+
+            ltab = pa.concat_tables(
+                [t for t in ray.get(_block_refs(labels_mat)) if t.num_rows],
+                promote_options="default",
+            ).combine_chunks()
+            lref = ray.put((ltab["node"], ltab["label"]))
+
+            def attach_label(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                nodes, labs = ray.get(lref)
+                idx = pc.index_in(b["doc_id"], value_set=nodes)
+                hit = pc.is_valid(idx)
+                lab = labs.take(pc.fill_null(idx, 0))
+                return b.append_column("label", lab).filter(hit)
+
+            joined = features_ds.map_batches(attach_label, batch_format="pyarrow")
+        else:
+            joined = copartition_join(
+                features_ds, labels_mat, on="doc_id", right_on="node",
+                n=num_partitions,
+            )
     ranked = joined.map_batches(_rank_columns, batch_format="pyarrow")
     # One int-hash exchange co-locates every cluster in one block, then a
     # single-threaded Acero (pyarrow C++) hash aggregate computes all 13

@@ -128,6 +128,47 @@ def test_cc_matches_union_find_oracle(t1, ray_session):
     assert got == oracle
 
 
+def test_driver_cc_equals_distributed_fixpoint(ray_session):
+    """The small-graph driver fast path and the distributed delta-iteration
+    fixpoint must label identically — including a 6-hop chain (the case the
+    reference's 2-round SQL closure gets wrong) and string/min-label ties."""
+    import ray.data
+
+    from mdm_ray.cluster import connected_components, driver_cc, init_labels
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g"),
+        ("x", "y"), ("m", "m2"),
+    ]
+    edges_tab = pa.table(
+        {
+            "src": pa.array([p[0] for p in pairs] + [p[1] for p in pairs]),
+            "dst": pa.array([p[1] for p in pairs] + [p[0] for p in pairs]),
+        }
+    )
+    nodes = sorted({n for p in pairs for n in p} | {"zz_lonely"})
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(nodes, pa.string())})
+    )
+    edges_ds = ray.data.from_arrow(edges_tab)
+    fast = connected_components(
+        edges_ds, init_labels(nodes_ds), EngineConfig()
+    ).take_all()
+    dist = connected_components(
+        edges_ds, init_labels(nodes_ds), EngineConfig(cc_driver_edge_cap=0)
+    ).take_all()
+    as_map = lambda rows: {r["node"]: r["label"] for r in rows}
+    expect = {n: "a" for n in "abcdefg"} | {
+        "x": "x", "y": "x", "m": "m", "m2": "m", "zz_lonely": "zz_lonely"
+    }
+    assert as_map(fast) == as_map(dist) == expect
+    # driver_cc alone returns only non-identity rows
+    emap = driver_cc(edges_tab)
+    assert {r["node"]: r["label"] for r in emap.to_pylist()} == {
+        n: l for n, l in expect.items() if n != l
+    }
+
+
 def test_determinism_across_runs_and_parallelism(ray_session):
     def run(par):
         docs = synth.generate_documents_ray(80, parallelism=par)
