@@ -639,4 +639,10 @@ def incremental_merge(new_docs_ds, golden_ds, cfg: EngineConfig = DEFAULT_CONFIG
         "match_results": match_results,
         "staged": staged,
         "assignments": matched,
+        # audit/oracle surfaces: the raw candidate score table (pre-argmax)
+        # and the new-entity doc→cluster map — queries.q_er_incremental
+        # exports both so SQL_ER_INCREMENTAL can re-derive match_results
+        # (argmax + thresholds) independently
+        "candidates": candidates,
+        "new_entity_map": ng_map,
     }

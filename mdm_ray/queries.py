@@ -1856,8 +1856,39 @@ FROM golden
 
 
 # ---------------------------------------------------------------------------
-# ER-fixture pipelines (rows-only checks: input corpus is synthesized)
+# ER-fixture pipelines. The input corpus is SYNTHESIZED (invisible to the
+# oracle's pre-registered parquet views), so each query side-exports its own
+# intermediate tables (features / labels / candidate scores) to
+# ``/tmp/mdm_ray_oracle_exports/<query>/`` and the oracle SQL reads those —
+# a write-then-read contract: the driver runs the Ray query first, then its
+# SQL (the order tools/check_oracles.py mimics). The SQL re-derives the
+# OUTPUT from the exported INPUTS (full survivorship rules, the resolve
+# join, the streaming argmax + decision thresholds), so the reduce/join/
+# argmax operators are hash-checked, not just row-counted.
 # ---------------------------------------------------------------------------
+
+_ORACLE_EXPORT_ROOT = "/tmp/mdm_ray_oracle_exports"
+
+
+def _export_for_oracle(name: str, tables: dict[str, pa.Table]) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(_ORACLE_EXPORT_ROOT, name)
+    os.makedirs(d, exist_ok=True)
+    for t, tab in tables.items():
+        pq.write_table(tab, os.path.join(d, t + ".parquet"))
+
+
+def _collect(ds, columns: list[str] | None = None) -> pa.Table:
+    from .dsutil import collect_table
+
+    # select AFTER the concat so schema-less empty sort partitions (which
+    # collect_table drops) can't break the projection
+    tab = collect_table(ds.materialize())
+    return tab.select(columns) if columns is not None else tab
+
 
 ER_CUSTOMERS = {"0.001": 120, "0.01": 400, "0.1": 2000}
 
@@ -1870,10 +1901,21 @@ def _er_scale(sf_dir: str) -> int:
 
 
 def q_er_golden(sf_dir: str):
+    """Full batch ER; the survivorship reduce is oracle-checked: the query
+    exports its (features, labels) inputs and SQL_ER_GOLDEN re-derives every
+    master_* rule (longest-name composite max, doc_id-recency email/phone,
+    sha256 master_id cascade, distinct record count) from them."""
     from . import pipeline, synth
 
     docs = synth.generate_documents_ray(_er_scale(sf_dir), parallelism=8)
     out = pipeline.run_er(docs)
+    _export_for_oracle("er_golden", {
+        "features": _collect(
+            out["features"],
+            columns=["doc_id", "full_name_clean", "email_clean", "phone_clean"],
+        ),
+        "labels": _collect(out["labels"]),
+    })
     golden = out["golden"]
     return golden.map_batches(
         lambda b: b.select(
@@ -1885,14 +1927,29 @@ def q_er_golden(sf_dir: str):
 
 
 def q_er_resolved(sf_dir: str):
+    """Cluster→records resolve (J8): the sort-cogroup merge is oracle-checked
+    against a plain SQL join of the exported (input docs, labels) tables."""
     from . import pipeline, synth
 
     n = _er_scale(sf_dir)
     docs = synth.generate_documents_ray(n, parallelism=8)
     out = pipeline.run_er(docs)
-    resolved = pipeline.resolve_docs(
-        synth.generate_documents_ray(n, parallelism=8), out["labels"]
-    )
+    resolve_input = synth.generate_documents_ray(n, parallelism=8)
+    _export_for_oracle("er_resolved", {
+        "docs": _collect(
+            resolve_input.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b["doc_id"],
+                        "n_spans": pc.list_value_length(b["spans"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        ),
+        "labels": _collect(out["labels"]),
+    })
+    resolved = pipeline.resolve_docs(resolve_input, out["labels"])
     return resolved.map_batches(
         lambda b: pa.table(
             {
@@ -1908,7 +1965,11 @@ def q_er_resolved(sf_dir: str):
 def q_er_incremental(sf_dir: str):
     """Streaming-twin merge (SURVEY §2.9): batch ER on the fixture corpus,
     then an incremental batch (80% new / 20% drift) merged into the golden
-    table. Rows-only check (synthesized corpus)."""
+    table. Oracle-checked: the query exports the raw candidate score table,
+    the new-entity assignment map and the processed doc ids, and
+    SQL_ER_INCREMENTAL re-derives match_results (per-doc argmax with the
+    smallest-cluster tie-break, 0.8/0.6 decision thresholds, new-entity
+    fallback) from them."""
     import ray.data
 
     from . import incremental, pipeline, synth
@@ -1916,10 +1977,17 @@ def q_er_incremental(sf_dir: str):
     n = min(_er_scale(sf_dir), 400)
     docs = ray.data.from_arrow(synth.generate_documents_local(n))
     golden = pipeline.run_er(docs, with_embeddings=False)["golden"].materialize()
+    stream_tab = synth.generate_stream_docs(n, max(20, n // 4))
     out = incremental.incremental_merge(
-        ray.data.from_arrow(synth.generate_stream_docs(n, max(20, n // 4))),
-        golden,
+        ray.data.from_arrow(stream_tab), golden,
     )
+    _export_for_oracle("er_incremental", {
+        "candidates": _collect(
+            out["candidates"], columns=["doc_id", "cluster_id", "combined_score"]
+        ),
+        "new_entity_map": out["new_entity_map"],
+        "stream_docs": stream_tab.select(["doc_id"]),
+    })
     return out["match_results"].map_batches(
         lambda b: pa.table(
             {
@@ -1934,6 +2002,85 @@ def q_er_incremental(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# DuckDB twins over the queries' side-exports (write-then-read contract —
+# see the section comment above). Paths are static because each query always
+# exports to the same directory; the driver runs the query, then the SQL.
+
+SQL_ER_GOLDEN = f"""
+WITH f AS (SELECT * FROM read_parquet('{_ORACLE_EXPORT_ROOT}/er_golden/features.parquet')),
+l AS (SELECT * FROM read_parquet('{_ORACLE_EXPORT_ROOT}/er_golden/labels.parquet')),
+j AS (SELECT f.*, l.label AS cluster_id FROM f JOIN l ON f.doc_id = l.node),
+raw AS (
+  SELECT cluster_id,
+         -- longest non-null name, ties by value (composite lpad-length max —
+         -- survivorship.py _rank_columns; NULL name -> NULL composite)
+         max(lpad(length(full_name_clean)::VARCHAR, 4, '0')
+             || '|' || full_name_clean) AS rk_name,
+         -- most recent = doc_id-order composite max (module determinism note)
+         max(doc_id || '|' || email_clean) AS rk_email,
+         max(doc_id || '|' || phone_clean) AS rk_phone,
+         count(DISTINCT doc_id) AS source_record_count
+  FROM j GROUP BY cluster_id
+),
+g AS (
+  -- duckdb's split_part(NULL, ...) yields '' (not NULL), so guard the parse
+  SELECT cluster_id, source_record_count,
+         CASE WHEN rk_name IS NOT NULL
+              THEN split_part(rk_name, '|', 2) END AS master_name,
+         CASE WHEN rk_email IS NOT NULL
+              THEN split_part(rk_email, '|', 2) END AS master_email,
+         CASE WHEN rk_phone IS NOT NULL
+              THEN split_part(rk_phone, '|', 2) END AS master_phone
+  FROM raw
+)
+SELECT cluster_id,
+       CASE WHEN master_email IS NOT NULL AND master_email <> ''
+              THEN substr(sha256('email:' || master_email), 1, 36)
+            WHEN master_phone IS NOT NULL AND master_phone <> ''
+              THEN substr(sha256('phone:' || master_phone), 1, 36)
+            ELSE cluster_id END AS master_id,
+       master_name, master_email, master_phone, source_record_count
+FROM g
+"""
+
+SQL_ER_RESOLVED = f"""
+SELECT d.doc_id, l.label AS entity_id, d.n_spans
+FROM read_parquet('{_ORACLE_EXPORT_ROOT}/er_resolved/docs.parquet') d
+JOIN read_parquet('{_ORACLE_EXPORT_ROOT}/er_resolved/labels.parquet') l
+  ON d.doc_id = l.node
+"""
+
+SQL_ER_INCREMENTAL = f"""
+WITH cand AS (
+  SELECT * FROM read_parquet('{_ORACLE_EXPORT_ROOT}/er_incremental/candidates.parquet')
+),
+best AS (
+  SELECT doc_id,
+         -- argmax entity: max combined score, ties to the smallest cluster_id
+         -- (incremental._argmax_per_doc lexsort)
+         first(cluster_id ORDER BY combined_score DESC, cluster_id) AS best_cluster,
+         max(combined_score) AS best_score
+  FROM cand GROUP BY doc_id
+),
+nem AS (
+  SELECT * FROM read_parquet('{_ORACLE_EXPORT_ROOT}/er_incremental/new_entity_map.parquet')
+),
+docs AS (
+  SELECT doc_id FROM read_parquet('{_ORACLE_EXPORT_ROOT}/er_incremental/stream_docs.parquet')
+)
+SELECT d.doc_id,
+       CASE WHEN b.best_score >= 0.6 THEN b.best_cluster
+            ELSE n.cluster_id END AS entity_id,
+       CASE WHEN b.best_score >= 0.8 THEN 'auto_merge'
+            WHEN b.best_score >= 0.6 THEN 'human_review'
+            ELSE 'new_entity' END AS action,
+       round(coalesce(b.best_score, 0.0), 6) AS combined_score
+FROM docs d
+LEFT JOIN best b ON d.doc_id = b.doc_id
+LEFT JOIN nem n ON d.doc_id = n.doc_id
+"""
 
 
 def q_media_features(sf_dir: str):
@@ -2139,6 +2286,10 @@ ORACLES = {
     "range_join_chunked": SQL_RANGE_JOIN,
     "media_features": SQL_MEDIA_FEATURES,
     "media_audio": SQL_MEDIA_AUDIO,
-    # er_* (synthesized fixture corpus): rows-only checks, but the same path
-    # is hash-checked via er_e2e and snapshot-tested in tests/test_pipeline.py
+    # er_* fixture pipelines: oracled via each query's side-export (the SQL
+    # re-derives the output from exported INPUTS — survivorship rules,
+    # resolve join, streaming argmax; see the export section comment)
+    "er_golden": SQL_ER_GOLDEN,
+    "er_resolved": SQL_ER_RESOLVED,
+    "er_incremental": SQL_ER_INCREMENTAL,
 }

@@ -27,6 +27,16 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _id_array(col) -> np.ndarray:
+    """Id column as numpy — NUMERIC dtype when the column is integer (the
+    self-mask equality broadcast is then a C numeric compare instead of
+    per-element Python object __eq__), object dtype otherwise."""
+    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    if pa.types.is_integer(arr.type) and arr.null_count == 0:
+        return arr.to_numpy(zero_copy_only=False)
+    return np.asarray(arr.to_pylist(), dtype=object)
+
+
 def _topk_merge_kernel(k: int):
     def kernel(batch: pa.Table, starts, stops) -> pa.Table:
         n = batch.num_rows
@@ -76,18 +86,18 @@ def ann_bruteforce(ds, queries: pa.Table, k: int = 5, id_col: str = "vec_id",
 
     from .dsutil import grouped_kernel
 
-    q_ids = queries[id_col].to_pylist()
+    q_ids = _id_array(queries[id_col])
     q_mat = _normalize(np.array(queries[vec_col].to_pylist(), dtype=np.float64))
     broadcast = ray.put((q_ids, q_mat))
 
     def block_topk(batch: pa.Table) -> pa.Table:
-        qids, qmat = ray.get(broadcast)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
+        qid_arr, qmat = ray.get(broadcast)
+        ids = _id_array(batch[id_col])
         mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
         sims = qmat @ mat.T  # [Q, B]
-        qid_arr = np.asarray(qids, dtype=object)
         if not include_self:
-            # one broadcast object-equality mask, same pattern as ann_ivf_query
+            # one broadcast equality mask (numeric when ids are ints),
+            # same pattern as ann_ivf_query
             sims = np.where(ids[None, :] == qid_arr[:, None], -np.inf, sims)
         Q, B = sims.shape
         kk = min(k, B)
@@ -235,7 +245,7 @@ def ann_ivf_query(index_ds, cents: np.ndarray, queries: pa.Table, k: int = 5,
 
     from .dsutil import group_boundaries, grouped_kernel
 
-    q_ids = queries[id_col].to_pylist()
+    q_ids = _id_array(queries[id_col])
     q_mat = _normalize(np.array(queries[vec_col].to_pylist(), dtype=np.float64))
     probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
     # bucket → indices of the queries probing it (tiny: Q × nprobe entries)
@@ -246,7 +256,7 @@ def ann_ivf_query(index_ds, cents: np.ndarray, queries: pa.Table, k: int = 5,
     broadcast = ray.put((q_ids, q_mat, bucket_queries))
 
     def block_topk(batch: pa.Table) -> pa.Table:
-        qids, qmat, b2q = ray.get(broadcast)
+        qid_arr, qmat, b2q = ray.get(broadcast)
         empty = pa.table(
             {
                 "query_id": queries[id_col].slice(0, 0),
@@ -258,9 +268,8 @@ def ann_ivf_query(index_ds, cents: np.ndarray, queries: pa.Table, k: int = 5,
             return empty
         buckets = batch["_bucket"].to_numpy(zero_copy_only=False)
         # sort partitions guarantee equal buckets are contiguous per block
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
+        ids = _id_array(batch[id_col])
         mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
-        qid_arr = np.asarray(qids, dtype=object)
         outs = []
         starts, stops = group_boundaries(buckets)
         for s, e in zip(starts, stops):
