@@ -92,12 +92,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names; floats rounded identically) — including the media codec queries,
-    whose integer-exact synthesis lets SQL re-derive the decoded features.
-    Non-expressible ops (the ER-fixture pipelines, which run on the
-    synthesized interleaved corpus invisible to the oracle's views) are
-    omitted → rows-only checks, backed by committed snapshot tests."""
+    """DuckDB-equivalent SQL for EVERY query (46/46, same column names;
+    floats rounded identically) — including the media codec queries, whose
+    integer-exact synthesis lets SQL re-derive the decoded features, and the
+    ER-fixture pipelines, which side-export their input tables to
+    /tmp/mdm_ray_oracle_exports/<query>/ so the SQL can re-derive the output
+    (survivorship rules, resolve join, streaming argmax) from them — a
+    write-then-read contract: run the query first, then its SQL."""
     from mdm_ray.queries import ORACLES
 
     return dict(ORACLES)
