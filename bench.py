@@ -136,9 +136,16 @@ def run_er_bench(num_cpus: int, customers: int) -> dict:
             .map_batches(count_pairs, batch_size=None, batch_format="pyarrow")
             .sum("n")
         )
+    from mdm_ray.dsutil import exchange_fanout as _fanout
+
     return {
         **out_extra,
         "docs": n_docs,
+        "blocked_rows": blocked_rows,
+        # the sort-exchange partition count the pair stage actually used —
+        # published so fan-out calibration (EXCHANGE_ROWS_PER_TASK vs the
+        # 8x-CPU cap) is auditable per fixture size (VERDICT r4 #8)
+        "pair_exchange_fanout": _fanout(blocked_rows),
         "candidate_pairs": candidates,
         "retained_pairs": retained,
         "clusters": clusters,

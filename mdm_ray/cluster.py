@@ -277,6 +277,8 @@ def apply_label_map(labels_ds, label_map: pa.Table):
         if b.num_rows == 0 or "node" not in b.column_names:
             return b
         nodes, labs = ray.get(mref)
+        if len(nodes) == 0:  # empty override map (no merges): seeds stand
+            return pa.table({"node": b["node"], "label": b["label"]})
         idx = pc.index_in(b["node"], value_set=nodes)
         lab = pc.if_else(
             pc.is_valid(idx),

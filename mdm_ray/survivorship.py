@@ -202,11 +202,14 @@ def build_golden(features_ds, labels_ds=None, num_partitions: int = 16,
 
         def attach_sparse(b: pa.Table) -> pa.Table:
             nodes, labs = ray.get(lref)
+            doc = b["doc_id"].combine_chunks()
+            if len(nodes) == 0:  # no merges at all: every doc is a singleton
+                return b.append_column("label", doc)
             idx = pc.index_in(b["doc_id"], value_set=nodes)
             lab = pc.if_else(
                 pc.is_valid(idx),
                 labs.take(pc.fill_null(idx, 0)),
-                b["doc_id"].combine_chunks(),
+                doc,
             )
             return b.append_column("label", lab)
 

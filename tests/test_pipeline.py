@@ -345,3 +345,38 @@ def test_er_fixture_snapshots(ray_session):
         expect = pd.read_parquet(os.path.join(SNAP_DIR, f"{name}_sf0001.parquet"))
         got = canonical(QUERIES[name](SF_DIR).to_pandas())
         pd.testing.assert_frame_equal(got, expect, check_exact=True, obj=name)
+
+
+def test_zero_merge_singletons(ray_session):
+    """No pair crosses the merge threshold ⇒ the driver-CC fast path hands an
+    EMPTY non-identity label map to survivorship. attach_sparse /
+    apply_label_map must fall back to identity labels instead of take()-ing
+    into a zero-length label array (ArrowIndexError regression, round 5 —
+    the sf0.001 driver-contract fixture hits exactly this)."""
+    import ray.data
+
+    cfg = EngineConfig()
+    docs = synth.generate_documents_ray(30, parallelism=2)
+    feats, _census, _rows = pipeline.featurize_and_census(docs, cfg)
+    n_docs = feats.count()
+    empty_scored = ray.data.from_arrow(
+        pa.table({"doc1_id": pa.array([], pa.string()),
+                  "doc2_id": pa.array([], pa.string())})
+    ).materialize()
+    labels, golden = pipeline.cluster_and_survive(feats, empty_scored, cfg)
+    lab = labels.to_pandas()
+    assert (lab["node"] == lab["label"]).all()
+    assert golden.materialize().count() == n_docs
+
+
+def test_entry_driver_contract(ray_session):
+    """Driver smoke-check twin: __ray_entry__.entry() must run under an
+    already-initialised Ray session (no ray.init inside) and yield ≥0 rows
+    with a stable schema — the surface the driver exercises every round."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as e
+
+    df = e.entry().to_pandas()
+    assert len(df) >= 0 and "cluster_id" in df.columns and "master_id" in df.columns
