@@ -92,6 +92,14 @@ def ann_bruteforce(ds, queries: pa.Table, k: int = 5, id_col: str = "vec_id",
 
     def block_topk(batch: pa.Table) -> pa.Table:
         qid_arr, qmat = ray.get(broadcast)
+        if batch.num_rows == 0:  # empty block (e.g. repartition remainder)
+            return pa.table(
+                {
+                    "query_id": batch[id_col].slice(0, 0),
+                    "neighbor_id": batch[id_col].slice(0, 0),
+                    "similarity": pa.array([], pa.float64()),
+                }
+            )
         ids = _id_array(batch[id_col])
         mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
         sims = qmat @ mat.T  # [Q, B]

@@ -847,3 +847,29 @@ def test_hot_key_census_counts_and_exploded_rows(ray_session):
     hot2, exploded2 = hot_key_census(ds, cap, floor=4)
     assert hot2 == {"h": 23, "m": 5}
     assert exploded2 == base + resalt
+
+
+def test_ann_bruteforce_empty_blocks(ray_session):
+    """A dataset with more partitions than rows (empty repartition
+    remainders) must produce exact top-k. The brute kernel also carries an
+    explicit zero-row guard (matching the IVF kernel's) for executors that
+    do hand empty batches to UDFs — _normalize would AxisError on one."""
+    import ray.data
+
+    from mdm_ray.similarity import ann_bruteforce
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((5, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(5)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(12, shuffle=False)  # >n empty blocks
+    out = ann_bruteforce(ds, tbl.slice(0, 2), k=3).take_all()
+    assert {r["query_id"] for r in out} == {0, 1}
+    assert all(1 <= r["rank"] <= 3 for r in out)
+    assert len(out) == 6
